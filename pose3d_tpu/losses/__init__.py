@@ -1,0 +1,39 @@
+from pose3d_tpu.losses.binned import (
+    cross_entropy_bin_loss,
+    delta_loss,
+    pose_loss,
+    smooth_l1,
+)
+from pose3d_tpu.losses.nce import (
+    info_nce,
+    info_nce_kd,
+    pose_nce,
+    pose_nce_kd,
+    single_info_nce_kd,
+    multi_pose_nce_kd,
+)
+from pose3d_tpu.losses.kd import (
+    temperature_scaled_kl,
+    gaussian_vid_loss,
+    kd_loss,
+    kd_loss_with_features,
+    vid_loss,
+)
+
+__all__ = [
+    "cross_entropy_bin_loss",
+    "delta_loss",
+    "pose_loss",
+    "smooth_l1",
+    "info_nce",
+    "info_nce_kd",
+    "pose_nce",
+    "pose_nce_kd",
+    "single_info_nce_kd",
+    "multi_pose_nce_kd",
+    "temperature_scaled_kl",
+    "gaussian_vid_loss",
+    "kd_loss",
+    "kd_loss_with_features",
+    "vid_loss",
+]

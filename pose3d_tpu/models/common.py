@@ -1,0 +1,111 @@
+"""Shared building blocks for the Flax models.
+
+Initialization parity notes (vs /root/reference/auxiliary/utils.py:23-36
+`KaiMingInit`, which every from-scratch run applies):
+  * Conv kernels:  kaiming_normal with leaky-relu slope a=0.2, fan_in
+                   (torch.nn.init.kaiming_normal_(w, a=0.2) defaults).
+  * Dense kernels: normal(std=1e-3).
+  * All biases:    zeros. BatchNorm: scale=1, bias=0 (flax default).
+
+Dtype policy: `dtype` is the compute dtype (bfloat16 on TPU for speed),
+`param_dtype` stays float32. BatchNorm statistics are always computed in
+float32 regardless of compute dtype (flax does the right thing via
+`dtype=None` promotion; we pass dtype explicitly for the affine output).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.nn.initializers import variance_scaling, normal, zeros
+
+Dtype = Any
+
+# torch kaiming_normal_(a=0.2): gain^2 = 2 / (1 + a^2), mode fan_in
+kaiming_leaky02 = variance_scaling(2.0 / (1.0 + 0.2**2), "fan_in", "truncated_normal")
+dense_init_1e3 = normal(stddev=1e-3)
+
+
+class ConvBN(nn.Module):
+    """Conv + BatchNorm (+ optional ReLU) in NHWC.
+
+    BatchNorm semantics match torch BatchNorm2d: momentum 0.1 (flax
+    `momentum` is the decay of the running average = 1 - torch momentum),
+    eps 1e-5.
+    """
+
+    features: int
+    kernel_size: tuple[int, int] = (3, 3)
+    strides: tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    use_relu: bool = True
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None  # set for sync-BN across data shards (shard_map)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=kaiming_leaky02,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            axis_name=self.axis_name if train else None,
+        )(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class DenseBNRelu(nn.Module):
+    """Linear + BatchNorm1d + ReLU, the reference's MLP block
+    (e.g. `compress`, auxiliary/model.py:34-36)."""
+
+    features: int
+    use_relu: bool = True
+    dtype: Dtype = jnp.float32
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        x = nn.Dense(
+            self.features,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=dense_init_1e3,
+            bias_init=zeros,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            axis_name=self.axis_name if train else None,
+        )(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+def head_dense(features: int, dtype: Dtype = jnp.float32) -> nn.Dense:
+    """A plain Linear head (fc_cls_* / fc_reg_*), KaiMingInit'ed std=1e-3."""
+    return nn.Dense(
+        features,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=dense_init_1e3,
+        bias_init=zeros,
+    )

@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device virtual CPU platform BEFORE jax import.
+
+This is the TPU-native answer to "test multi-device without a cluster"
+(SURVEY.md §4): every sharding/collective test runs against a virtual
+8-device CPU mesh via --xla_force_host_platform_device_count.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/TPU: tests always run on virtual CPU mesh
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(46)  # reference fixed seed (training.py:195)

@@ -1,0 +1,233 @@
+"""Loss parity tests vs independent torch-CPU oracles of the reference
+formulas (auxiliary/loss.py, auxiliary/model_utils.py, KD/vision/vanilla)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from pose3d_tpu import losses
+from tests.test_geometry import torch_rotation_err
+
+
+def _rand_labels(rng, n):
+    azi = rng.integers(0, 360, n)
+    ele = rng.integers(0, 180, n)
+    inp = rng.integers(0, 360, n)
+    return np.stack([azi, ele, inp], axis=1).astype(np.int32)
+
+
+# --------------------------- binned losses --------------------------------
+
+
+def test_cross_entropy_bin_loss_matches_torch(rng):
+    for n_classes, angle_range in ((24, 360), (12, 180)):
+        logits = rng.standard_normal((64, n_classes)).astype(np.float32)
+        target = rng.integers(0, angle_range, 64).astype(np.int64)
+        ours = float(
+            losses.cross_entropy_bin_loss(jnp.asarray(logits), jnp.asarray(target), angle_range)
+        )
+        bin_size = angle_range // n_classes
+        oracle = F.cross_entropy(
+            torch.from_numpy(logits), torch.from_numpy(target // bin_size)
+        ).item()
+        assert ours == pytest.approx(oracle, rel=1e-5)
+
+
+def test_delta_loss_matches_torch(rng):
+    n = 64
+    regs = [rng.standard_normal((n, k)).astype(np.float32) for k in (24, 12, 24)]
+    target = _rand_labels(rng, n)
+    ours = float(
+        losses.delta_loss(*(jnp.asarray(r) for r in regs), jnp.asarray(target), 15)
+    )
+    # torch oracle (auxiliary/loss.py:23-34)
+    t = torch.from_numpy(target).float()
+    target_delta = (t % 15) / 15 - 0.5
+    lbl = (t // 15).long()
+    ds = []
+    for i, r in enumerate(regs):
+        r = torch.from_numpy(r)
+        ds.append(r[torch.arange(n), lbl[:, i]].tanh() / 2)
+    pred_delta = torch.stack(ds, dim=1)
+    oracle = F.smooth_l1_loss(5.0 * pred_delta, 5.0 * target_delta).item()
+    assert ours == pytest.approx(oracle, rel=1e-5)
+
+
+def test_pose_loss_is_sum_of_terms(rng):
+    n = 32
+    outs = [rng.standard_normal((n, k)).astype(np.float32) for k in (24, 12, 24, 24, 12, 24)]
+    target = _rand_labels(rng, n)
+    outs_j = [jnp.asarray(o) for o in outs]
+    total = float(losses.pose_loss(outs_j, jnp.asarray(target)))
+    parts = (
+        float(losses.cross_entropy_bin_loss(outs_j[0], jnp.asarray(target[:, 0]), 360))
+        + float(losses.cross_entropy_bin_loss(outs_j[1], jnp.asarray(target[:, 1]), 180))
+        + float(losses.cross_entropy_bin_loss(outs_j[2], jnp.asarray(target[:, 2]), 360))
+        + float(losses.delta_loss(outs_j[3], outs_j[4], outs_j[5], jnp.asarray(target), 15))
+    )
+    assert total == pytest.approx(parts, rel=1e-5)
+
+
+# --------------------------- NCE family ------------------------------------
+
+
+def _torch_info_nce_kd(feat_ori, feat_pos, tau):
+    """Oracle for model_utils.py:263-285 WITHOUT the teacher dropout."""
+    feat_ori = F.normalize(feat_ori, dim=-1)
+    feat_pos = F.normalize(feat_pos, dim=-1)
+    l_pos = torch.exp(torch.einsum("nc,nc->n", feat_ori, feat_pos).unsqueeze(-1) / tau)
+    l_neg = torch.exp(torch.einsum("nc,ck->nk", feat_ori, feat_pos.t()) / tau)
+    logits = torch.cat([l_pos, l_neg], dim=1)
+    return (-torch.log(logits[:, 0] / torch.sum(logits, -1))).mean().item()
+
+
+def test_info_nce_kd_matches_torch(rng):
+    s = rng.standard_normal((46, 200)).astype(np.float32)
+    t = rng.standard_normal((46, 200)).astype(np.float32)
+    ours = float(losses.info_nce_kd(jnp.asarray(s), jnp.asarray(t), tau=0.5, dropout_rng=None))
+    oracle = _torch_info_nce_kd(torch.from_numpy(s), torch.from_numpy(t), 0.5)
+    assert ours == pytest.approx(oracle, rel=1e-4)
+
+
+def test_info_nce_kd_dropout_changes_loss(rng):
+    s = jnp.asarray(rng.standard_normal((16, 200)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((16, 200)).astype(np.float32))
+    a = float(losses.info_nce_kd(s, t, 0.5, dropout_rng=jax.random.key(0)))
+    b = float(losses.info_nce_kd(s, t, 0.5, dropout_rng=jax.random.key(1)))
+    c = float(losses.info_nce_kd(s, t, 0.5, dropout_rng=None))
+    assert a != b and a != c
+
+
+def test_info_nce_matches_torch(rng):
+    s = torch.from_numpy(rng.standard_normal((32, 64)).astype(np.float32))
+    t = torch.from_numpy(rng.standard_normal((32, 64)).astype(np.float32))
+    fo, fp = F.normalize(s, dim=-1), F.normalize(t, dim=-1)
+    b = fo.shape[0]
+    l_pos = torch.einsum("nc,nc->n", fo, fp).unsqueeze(-1)
+    l_neg = torch.einsum("nc,ck->nk", fo, fo.t())
+    logits = ((1 - torch.eye(b)) * l_neg + torch.eye(b) * l_pos) / 0.1
+    oracle = F.cross_entropy(logits, torch.arange(b)).item()
+    ours = float(losses.info_nce(jnp.asarray(s.numpy()), jnp.asarray(t.numpy()), tau=0.1))
+    assert ours == pytest.approx(oracle, rel=1e-4)
+
+
+@pytest.mark.parametrize("weighting", ["linear", "square", "sqrt", "sin", "sinsin"])
+def test_pose_nce_kd_matches_torch(rng, weighting):
+    n = 24
+    s = rng.standard_normal((n, 64)).astype(np.float32)
+    t = rng.standard_normal((n, 64)).astype(np.float32)
+    labels = _rand_labels(rng, n)
+    ours = float(
+        losses.pose_nce_kd(
+            jnp.asarray(s), jnp.asarray(t), jnp.asarray(labels), tau=0.5, weighting=weighting
+        )
+    )
+    # torch oracle (model_utils.py:225-261)
+    fo = F.normalize(torch.from_numpy(s), dim=-1)
+    fp = F.normalize(torch.from_numpy(t), dim=-1)
+    lab = torch.from_numpy(labels).float()
+    a = lab.reshape(-1, 1, 3).repeat(1, n, 1).reshape(-1, 3)
+    b = lab.reshape(1, -1, 3).repeat(n, 1, 1).reshape(-1, 3)
+    dist = torch_rotation_err(a, b).reshape(n, n)
+    if weighting == "linear":
+        dist = dist / 180
+    elif weighting == "square":
+        dist = (dist / 180) ** 2
+    elif weighting == "sqrt":
+        dist = torch.sqrt(dist / 180)
+    elif weighting == "sin":
+        dist = torch.abs(torch.sin(dist / 180 * np.pi))
+    elif weighting == "sinsin":
+        dist = torch.sin(dist / 180 * np.pi) ** 2
+    l_pos = torch.exp(torch.einsum("nc,nc->n", fo, fp).unsqueeze(-1) / 0.5)
+    l_neg = torch.exp(torch.einsum("nc,ck->nk", fo, fp.t()) / 0.5) * dist
+    logits = torch.cat([l_pos, l_neg], dim=1)
+    oracle = (-torch.log(logits[:, 0] / torch.sum(logits, -1))).mean().item()
+    assert ours == pytest.approx(oracle, rel=1e-3)
+
+
+def test_multi_pose_nce_kd_matches_torch_loop(rng):
+    n = 12
+    s = rng.standard_normal((n, 32)).astype(np.float32)
+    t = rng.standard_normal((n, 32)).astype(np.float32)
+    labels = _rand_labels(rng, n)
+    ours = float(
+        losses.multi_pose_nce_kd(jnp.asarray(s), jnp.asarray(t), jnp.asarray(labels), tau=0.5)
+    )
+    # torch oracle with the reference's explicit double loop (model_utils.py:306-351)
+    fo = F.normalize(torch.from_numpy(s), dim=-1)
+    fp = F.normalize(torch.from_numpy(t), dim=-1)
+    lab = torch.from_numpy(labels).float()
+    a = lab.reshape(-1, 1, 3).repeat(1, n, 1).reshape(-1, 3)
+    b = lab.reshape(1, -1, 3).repeat(n, 1, 1).reshape(-1, 3)
+    dist = torch_rotation_err(a, b).reshape(n, n)
+    mark = torch.zeros(n, n)
+    for i in range(n):
+        for j, d in enumerate(dist[i]):
+            if j == i or d <= 30.0:
+                mark[i][j] = 1.0
+    l_pos_mat = torch.exp(torch.einsum("nc,ck->nk", fo, fp.t()) / 0.5)
+    l_pos = torch.einsum("nc,nc->n", l_pos_mat, mark).unsqueeze(-1)
+    l_neg = torch.exp(torch.einsum("nc,ck->nk", fo, fp.t()) / 0.5)
+    logits = torch.cat([l_pos, l_neg], dim=1)
+    oracle = (-torch.log(logits[:, 0] / torch.sum(logits, -1))).mean().item()
+    assert ours == pytest.approx(oracle, rel=1e-3)
+
+
+def test_single_info_nce_kd(rng):
+    s = rng.standard_normal((16, 64)).astype(np.float32)
+    t = rng.standard_normal((16, 64)).astype(np.float32)
+    ours = float(losses.single_info_nce_kd(jnp.asarray(s), jnp.asarray(t), tau=0.5))
+    fo = F.normalize(torch.from_numpy(s), dim=-1)
+    fp = F.normalize(torch.from_numpy(t), dim=-1)
+    l_pos = torch.exp(torch.einsum("nc,nc->n", fo, fp).unsqueeze(-1) / 0.5)
+    oracle = (-torch.log(l_pos)).mean().item()
+    assert ours == pytest.approx(oracle, rel=1e-4)
+
+
+# --------------------------- KD losses --------------------------------------
+
+
+def test_temperature_scaled_kl_matches_torch(rng):
+    for temp in (1.0, 2.0, 0.5):
+        s = rng.standard_normal((32, 24)).astype(np.float32)
+        t = rng.standard_normal((32, 24)).astype(np.float32)
+        ours = float(losses.temperature_scaled_kl(jnp.asarray(s), jnp.asarray(t), temp))
+        log_p = torch.log_softmax(torch.from_numpy(s) / temp, dim=1)
+        q = torch.softmax(torch.from_numpy(t) / temp, dim=1)
+        oracle = (temp**2) * F.kl_div(log_p, q, reduction="batchmean").item()
+        assert ours == pytest.approx(oracle, rel=1e-4)
+
+
+def test_kd_loss_with_features_composition(rng):
+    n = 16
+    s_out = [jnp.asarray(rng.standard_normal((n, k)).astype(np.float32)) for k in (24, 12, 24, 24, 12, 24)]
+    t_out = [jnp.asarray(rng.standard_normal((n, k)).astype(np.float32)) for k in (24, 12, 24, 24, 12, 24)]
+    s_feat = jnp.asarray(rng.standard_normal((n, 200)).astype(np.float32))
+    t_feat = jnp.asarray(rng.standard_normal((n, 200)).astype(np.float32))
+    gt = jnp.asarray(3.7, dtype=jnp.float32)
+    total = float(losses.kd_loss_with_features(s_out, t_out, s_feat, t_feat, gt))
+    kl = sum(float(losses.temperature_scaled_kl(s, t, 1.0)) for s, t in zip(s_out, t_out))
+    feat_kl = float(losses.temperature_scaled_kl(s_feat, t_feat, 1.0))
+    assert total == pytest.approx(0.25 * 3.7 + 0.75 * kl + 0.75 * feat_kl, rel=1e-5)
+
+
+def test_losses_are_differentiable(rng):
+    """Every loss must produce finite gradients under jax.grad."""
+    n = 8
+    s = jnp.asarray(rng.standard_normal((n, 64)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((n, 64)).astype(np.float32))
+    labels = jnp.asarray(_rand_labels(rng, n))
+
+    for fn in (
+        lambda x: losses.info_nce_kd(x, t, 0.5),
+        lambda x: losses.info_nce(x, t, 0.1),
+        lambda x: losses.pose_nce_kd(x, t, labels, 0.5),
+        lambda x: losses.multi_pose_nce_kd(x, t, labels, 0.5),
+        lambda x: losses.single_info_nce_kd(x, t, 0.5),
+    ):
+        g = jax.grad(fn)(s)
+        assert np.all(np.isfinite(np.asarray(g)))
