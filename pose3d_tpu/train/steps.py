@@ -1,0 +1,311 @@
+"""jit-compiled train/eval steps for every training regime in the reference.
+
+Regime map (SURVEY.md §3, /root/reference):
+  * make_teacher_train_step   — training.py:26-88 `train()`: 4-term pose loss
+    + 0.5 * infoNCE_KD(img_features, fused_features, tau=0.1).
+  * make_vanilla_train_step   — training.py:92-148 `train_vanilla()`: 4-term
+    pose loss only (BaselineEstimator supervised or PoseEstimator_Vanilla).
+  * make_kd_crd_step          — KD/common/base_class.py:303-449
+    `_train_student_crd`: concat the 3 augmentation views into a 3b batch,
+    tile shapes x3, student fwd (train) + frozen teacher fwd (eval,
+    stop_gradient), loss = calculate_kd_loss_new (0.25 gt + 0.75 sum KL +
+    0.75 feature KL).
+  * make_stage1_step          — base_class.py:451-569 `_train_stage_1`: joint
+    teacher (vanilla arity) + contrastive learner; teacher pose loss + 0.75 *
+    symmetric infoNCE_KD; both models step.
+  * make_stage2_step          — base_class.py:571-688 `_train_stage_2`:
+    response KD from a frozen stage-1 teacher (0.25 gt + 0.75 sum KL).
+  * make_eval_step            — evaluation.py:11-117 val/val_new: loss + the
+    train/val decoder + predictions.
+
+Design: every step is a pure function (state, batch) -> (state, metrics),
+built once per model by a `make_*` factory and jit-compiled by the caller
+(jit + GSPMD over a Mesh gives DP, global-batch NCE and sync-BN for free —
+see pose3d_tpu.parallel.mesh). Teacher freezing uses stop_gradient instead of
+the reference's compute-grads-then-ignore (base_class.py:363) — identical
+updates, fewer FLOPs. Heads are cast to float32 before any loss for bf16
+safety.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu import geometry
+from pose3d_tpu.losses import (
+    info_nce_kd,
+    kd_loss,
+    kd_loss_with_features,
+    pose_loss,
+)
+
+Batch = dict[str, jnp.ndarray]
+
+
+def _f32(tree):
+    return jax.tree.map(lambda x: x.astype(jnp.float32), tree)
+
+
+def _train_metrics(outputs, labels, bin_size):
+    preds = geometry.decode_predictions(tuple(outputs[:3]), tuple(outputs[3:]), bin_size)
+    acc = geometry.rotation_acc(preds, labels.astype(jnp.float32))
+    return preds, acc
+
+
+# --------------------------------------------------------------------------
+# Teacher training (contrastive multimodal teacher) — training.py:26-88
+# --------------------------------------------------------------------------
+def make_teacher_train_step(
+    model,
+    bin_size: int = 15,
+    nce_weight: float = 0.5,
+    nce_tau: float = 0.1,
+    nce_dropout: float = 0.3,
+) -> Callable:
+    def loss_fn(params, batch_stats, batch: Batch, rng):
+        drop_rng, nce_rng = jax.random.split(rng)
+        (outputs, fused, img_proj), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["im"], batch["shape"], train=True,
+            rngs={"dropout": drop_rng},
+            mutable=["batch_stats"],
+        )
+        outputs = _f32(outputs)
+        fused = fused.astype(jnp.float32)
+        img_proj = img_proj.astype(jnp.float32)
+        gt = pose_loss(outputs, batch["label"], bin_size)
+        nce = info_nce_kd(img_proj, fused, nce_tau, dropout_rng=nce_rng,
+                          dropout_rate=nce_dropout)
+        loss = gt + nce_weight * nce
+        return loss, (outputs, mutated["batch_stats"], gt, nce)
+
+    def step(state, batch: Batch):
+        rng, new_rng = jax.random.split(state.rng)
+        (loss, (outputs, new_bs, gt, nce)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+        state = state.apply_gradients(grads, new_batch_stats=new_bs, new_rng=new_rng)
+        _, acc = _train_metrics(outputs, batch["label"], bin_size)
+        return state, {"loss": loss, "pose_loss": gt, "nce_loss": nce, "acc_rot": acc}
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# Vanilla supervised training — training.py:92-148
+# --------------------------------------------------------------------------
+def make_vanilla_train_step(model, has_shape: bool, bin_size: int = 15) -> Callable:
+    def loss_fn(params, batch_stats, batch: Batch, rng):
+        args = (batch["im"], batch["shape"]) if has_shape else (batch["im"],)
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            *args, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+        )
+        outputs = _f32(out[0])
+        gt = pose_loss(outputs, batch["label"], bin_size)
+        return gt, (outputs, mutated["batch_stats"])
+
+    def step(state, batch: Batch):
+        rng, new_rng = jax.random.split(state.rng)
+        (loss, (outputs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        state = state.apply_gradients(grads, new_batch_stats=new_bs, new_rng=new_rng)
+        _, acc = _train_metrics(outputs, batch["label"], bin_size)
+        return state, {"loss": loss, "acc_rot": acc}
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# KD --crd: the main student path — base_class.py:303-449
+# --------------------------------------------------------------------------
+def make_kd_crd_step(
+    student_model,
+    teacher_model,
+    bin_size: int = 15,
+    temperature: float = 1.0,
+) -> Callable:
+    """step(student_state, teacher_variables, batch7) -> (student_state, metrics).
+
+    batch7 keys: im, shape, label, im_flip, label_flip, im_rot, label_rot.
+    """
+
+    def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng):
+        im = jnp.concatenate([batch["im"], batch["im_flip"], batch["im_rot"]], axis=0)
+        label = jnp.concatenate(
+            [batch["label"], batch["label_flip"], batch["label_rot"]], axis=0
+        )
+        shapes = jnp.concatenate([batch["shape"]] * 3, axis=0)
+
+        (s_out, s_feat), mutated = student_model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            im, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+        )
+        t_out, _, t_feat = teacher_model.apply(teacher_vars, im, shapes, train=False)
+        # frozen teacher: identical update to the reference's
+        # grads-computed-then-ignored (base_class.py:363), minus wasted FLOPs
+        t_out = jax.tree.map(jax.lax.stop_gradient, t_out)
+        t_feat = jax.lax.stop_gradient(t_feat)
+
+        s_out, t_out = _f32(s_out), _f32(t_out)
+        s_feat, t_feat = s_feat.astype(jnp.float32), t_feat.astype(jnp.float32)
+
+        gt = pose_loss(s_out, label, bin_size)
+        loss = kd_loss_with_features(s_out, t_out, s_feat, t_feat, gt,
+                                     temperature=temperature)
+        return loss, (s_out, label, mutated["batch_stats"], gt)
+
+    def step(student_state, teacher_vars, batch: Batch):
+        rng, new_rng = jax.random.split(student_state.rng)
+        (loss, (s_out, label, new_bs, gt)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(student_state.params, student_state.batch_stats, teacher_vars, batch, rng)
+        student_state = student_state.apply_gradients(
+            grads, new_batch_stats=new_bs, new_rng=new_rng
+        )
+        _, acc = _train_metrics(s_out, label, bin_size)
+        return student_state, {"loss": loss, "gt_loss": gt, "acc_rot": acc}
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# Stage 1: joint teacher + contrastive learner — base_class.py:451-569
+# --------------------------------------------------------------------------
+def make_stage1_step(
+    teacher_model,
+    student_model,
+    bin_size: int = 15,
+    tau: float = 0.5,
+    nce_weight: float = 0.75,
+) -> Callable:
+    """Both models train. step(teacher_state, student_state, batch) ->
+    (teacher_state, student_state, metrics). Teacher must have vanilla arity
+    ([6], feat) — base_class.py:494."""
+
+    def loss_fn(t_params, s_params, t_bs, s_bs, batch: Batch, rng):
+        s_rng, nce_rng1, nce_rng2 = jax.random.split(rng, 3)
+        (s_out, s_feat), s_mut = student_model.apply(
+            {"params": s_params, "batch_stats": s_bs},
+            batch["im"], train=True, rngs={"dropout": s_rng}, mutable=["batch_stats"],
+        )
+        (t_out, t_feat), t_mut = teacher_model.apply(
+            {"params": t_params, "batch_stats": t_bs},
+            batch["im"], batch["shape"], train=True, mutable=["batch_stats"],
+        )
+        t_out = _f32(t_out)
+        s_feat = s_feat.astype(jnp.float32)
+        t_feat = t_feat.astype(jnp.float32)
+
+        teacher_loss = pose_loss(t_out, batch["label"], bin_size)
+        nce_s2t = info_nce_kd(s_feat, t_feat, tau, dropout_rng=nce_rng1)
+        nce_t2s = info_nce_kd(t_feat, s_feat, tau, dropout_rng=nce_rng2)
+        loss = teacher_loss + nce_weight * (0.5 * nce_s2t + 0.5 * nce_t2s)
+        return loss, (t_out, t_mut["batch_stats"], s_mut["batch_stats"], teacher_loss)
+
+    def step(teacher_state, student_state, batch: Batch):
+        rng, new_rng = jax.random.split(student_state.rng)
+        grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+        (loss, (t_out, t_bs, s_bs, t_loss)), (t_grads, s_grads) = grad_fn(
+            teacher_state.params, student_state.params,
+            teacher_state.batch_stats, student_state.batch_stats, batch, rng,
+        )
+        teacher_state = teacher_state.apply_gradients(t_grads, new_batch_stats=t_bs)
+        student_state = student_state.apply_gradients(
+            s_grads, new_batch_stats=s_bs, new_rng=new_rng
+        )
+        _, acc = _train_metrics(t_out, batch["label"], bin_size)
+        return teacher_state, student_state, {"loss": loss, "teacher_loss": t_loss,
+                                              "acc_rot": acc}
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# Stage 2: response KD from the stage-1 teacher — base_class.py:571-688
+# --------------------------------------------------------------------------
+def make_stage2_step(
+    student_model,
+    teacher_model,
+    bin_size: int = 15,
+    temperature: float = 1.0,
+) -> Callable:
+    def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng):
+        im = jnp.concatenate([batch["im"], batch["im_flip"], batch["im_rot"]], axis=0)
+        label = jnp.concatenate(
+            [batch["label"], batch["label_flip"], batch["label_rot"]], axis=0
+        )
+        shapes = jnp.concatenate([batch["shape"]] * 3, axis=0)
+
+        (s_out, _), mutated = student_model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            im, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+        )
+        t_out, _ = teacher_model.apply(teacher_vars, im, shapes, train=False)
+        t_out = jax.tree.map(jax.lax.stop_gradient, t_out)
+
+        s_out, t_out = _f32(s_out), _f32(t_out)
+        gt = pose_loss(s_out, label, bin_size)
+        loss = kd_loss(s_out, t_out, gt, temperature=temperature)
+        return loss, (s_out, label, mutated["batch_stats"], gt)
+
+    def step(student_state, teacher_vars, batch: Batch):
+        rng, new_rng = jax.random.split(student_state.rng)
+        (loss, (s_out, label, new_bs, gt)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(student_state.params, student_state.batch_stats, teacher_vars, batch, rng)
+        student_state = student_state.apply_gradients(
+            grads, new_batch_stats=new_bs, new_rng=new_rng
+        )
+        _, acc = _train_metrics(s_out, label, bin_size)
+        return student_state, {"loss": loss, "gt_loss": gt, "acc_rot": acc}
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# Evaluation step — evaluation.py:11-117
+# --------------------------------------------------------------------------
+def make_eval_step(model, kind: str, bin_size: int = 15) -> Callable:
+    """kind: 'student' (im) | 'teacher' (im, shape; 3-tuple out) |
+    'vanilla' (im, shape; 2-tuple out).
+
+    Returns step(variables, batch) -> {'pred': (N,3), 'loss': scalar,
+    'nce_loss': scalar or 0}. Uses the train/val decoder
+    (bin + tanh(d)/2 + 0.5) * bin_size.
+    """
+
+    def step(variables, batch: Batch):
+        if kind == "student":
+            out = model.apply(variables, batch["im"], train=False)
+            outputs, fused, img_proj = out[0], None, None
+        elif kind == "teacher":
+            outputs, fused, img_proj = model.apply(
+                variables, batch["im"], batch["shape"], train=False
+            )
+        elif kind == "vanilla":
+            outputs, _ = model.apply(variables, batch["im"], batch["shape"], train=False)
+            fused = img_proj = None
+        else:
+            raise ValueError(kind)
+
+        outputs = _f32(outputs)
+        loss = pose_loss(outputs, batch["label"], bin_size)
+        preds = geometry.decode_predictions(tuple(outputs[:3]), tuple(outputs[3:]),
+                                            bin_size)
+        metrics = {"pred": preds, "loss": loss}
+        if fused is not None:
+            # val_new's contrastive val loss (evaluation.py:86); the reference
+            # applies teacher-dropout even at val — reproduced with a fixed key
+            metrics["nce_loss"] = info_nce_kd(
+                img_proj.astype(jnp.float32), fused.astype(jnp.float32), 0.1,
+                dropout_rng=jax.random.key(0),
+            )
+        return metrics
+
+    return step

@@ -1,0 +1,147 @@
+"""Model structure tests: output shapes/arities, parameter-count parity with
+the reference torch models (imported read-only from /root/reference for
+counting only), BN mutability, and jit-ability."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pose3d_tpu.models import (
+    BaselineEstimator,
+    PoseEstimator,
+    PoseEstimatorVanilla,
+    ShapeEncoderPC,
+    DeformNet,
+    resnet50,
+    vgg11,
+)
+
+IMG = (2, 64, 64, 3)  # small spatial dims for fast CPU tests (conv nets are size-agnostic
+# down to 32px thanks to global pooling; VGG needs 224 for its 7x7 flatten — use 224 there)
+
+
+def _init(model, *args):
+    variables = model.init(jax.random.key(0), *args, train=False)
+    return variables
+
+
+def test_pointnet_shapes():
+    m = ShapeEncoderPC(feature_dim=1024)
+    pts = jnp.zeros((2, 500, 3))
+    v = _init(m, pts)
+    out, _ = m.apply(v, pts, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 1024)
+    assert "batch_stats" in v
+
+
+def test_deformnet_shapes():
+    m = DeformNet(bottleneck_size=2048)
+    x = jnp.zeros((4, 2048))
+    v = _init(m, x)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (4, 200)
+    assert np.all(np.abs(np.asarray(out)) <= 1.0)  # tanh output
+
+
+def test_resnet50_two_output_forward():
+    m = resnet50(num_classes=1024)
+    x = jnp.zeros(IMG)
+    v = _init(m, x)
+    feat, out = m.apply(v, x, train=False)
+    assert feat.shape == (2, 2048)  # pre-fc pooled feature
+    assert out.shape == (2, 1024)  # fc output
+
+
+def test_baseline_estimator_arity():
+    m = BaselineEstimator(img_feature_dim=2048)
+    x = jnp.zeros((2, 224, 224, 3))
+    v = _init(m, x)
+    outputs, proj = m.apply(v, x, train=False)
+    assert len(outputs) == 6
+    assert [o.shape[-1] for o in outputs] == [24, 12, 24, 24, 12, 24]
+    assert proj.shape == (2, 200)
+
+
+def test_pose_estimator_arity_pointcloud():
+    m = PoseEstimator(shape="PointCloud", img_feature_dim=1024, shape_feature_dim=1024)
+    im = jnp.zeros(IMG)
+    pc = jnp.zeros((2, 500, 3))
+    v = _init(m, im, pc)
+    outputs, fused, proj = m.apply(v, im, pc, train=False)
+    assert len(outputs) == 6
+    assert fused.shape == (2, 200)
+    assert proj.shape == (2, 200)
+
+
+def test_pose_estimator_vanilla_two_tuple():
+    m = PoseEstimatorVanilla(shape="PointCloud", img_feature_dim=1024, shape_feature_dim=256)
+    im = jnp.zeros(IMG)
+    pc = jnp.zeros((2, 500, 3))
+    v = _init(m, im, pc)
+    out = m.apply(v, im, pc, train=False)
+    assert len(out) == 2
+    assert out[1].shape == (2, 200)
+
+
+def _count(params):
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+@pytest.mark.slow
+def test_param_count_parity_with_reference():
+    """Parameter counts must match the reference torch models exactly
+    (auxiliary/model.py). Counted against the reference repo read-only."""
+    im = jnp.zeros((1, 224, 224, 3))
+    pc = jnp.zeros((1, 2500, 3))
+
+    student = BaselineEstimator(img_feature_dim=2048)
+    v = student.init(jax.random.key(0), im, train=False)
+    assert _count(v["params"]) + _count(v["batch_stats"]) // 2 * 0 + _count_bn_stats_as_params(v) == 139304512
+
+    teacher = PoseEstimator(shape="PointCloud", img_feature_dim=1024, shape_feature_dim=1024)
+    vt = teacher.init(jax.random.key(0), im, pc, train=False)
+    assert _count(vt["params"]) + _count_bn_stats_as_params(vt) == 33925528
+
+    vanilla = PoseEstimatorVanilla(shape="PointCloud", img_feature_dim=1024,
+                                   shape_feature_dim=256)
+    vv = vanilla.init(jax.random.key(0), im, pc, train=False)
+    assert _count(vv["params"]) + _count_bn_stats_as_params(vv) == 13196640
+
+
+def _count_bn_stats_as_params(variables):
+    """torch counts BN scale+bias in parameters(); flax puts them in params
+    too (scale, bias) — running mean/var live in batch_stats in both
+    frameworks and are not in torch .parameters(). So nothing extra."""
+    return 0
+
+
+def test_vgg11_feature_dim():
+    m = vgg11(num_classes=2048)
+    x = jnp.zeros((1, 224, 224, 3))
+    v = _init(m, x)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 2048)
+
+
+def test_batch_stats_update_in_train_mode():
+    m = ShapeEncoderPC(feature_dim=64)
+    pts = jax.random.normal(jax.random.key(1), (8, 100, 3))
+    v = _init(m, pts)
+    _, updates = m.apply(v, pts, train=True, mutable=["batch_stats"])
+    before = jax.tree.leaves(v["batch_stats"])
+    after = jax.tree.leaves(updates["batch_stats"])
+    assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_student_forward_jits():
+    m = BaselineEstimator(img_feature_dim=256)  # small for CPU test speed
+    x = jnp.zeros((2, 224, 224, 3))
+    v = _init(m, x)
+
+    @jax.jit
+    def fwd(variables, im):
+        return m.apply(variables, im, train=False)
+
+    outputs, proj = fwd(v, x)
+    assert len(outputs) == 6 and proj.shape == (2, 200)
