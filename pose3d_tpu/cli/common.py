@@ -1,0 +1,155 @@
+"""Shared CLI plumbing: flag sets mirroring the reference argparse interfaces
+(training.py:155-191, trainingKD.py:91-133, testing.py:15-38), model/dataset
+builders, and seed handling (reference fixes seed 46, training.py:195)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose3d_tpu.data import datasets
+from pose3d_tpu.data.annotations import (
+    OBJECTNET3D_TEST_CATS,
+    PASCAL3D_TEST_CATS,
+    PIX3D_TEST_CATS,
+    LINEMOD_TEST_CATS,
+)
+from pose3d_tpu.models import BaselineEstimator, PoseEstimator, PoseEstimatorVanilla
+
+MANUAL_SEED = 46  # reference fixed seed (training.py:195-198)
+
+
+def add_common_flags(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--batch_size", type=int, default=16)
+    parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--model", type=str, default=None, help="optional reload model path")
+    parser.add_argument("--img_feature_dim", type=int, default=1024)
+    parser.add_argument("--shape_feature_dim", type=int, default=256)
+    parser.add_argument("--bin_size", type=int, default=15)
+    parser.add_argument("--dataset", type=str, default=None,
+                        choices=["ObjectNet3D", "Pascal3D", "ShapeNetCore", "Pix3D",
+                                 "LineMod"])
+    parser.add_argument("--data_root", type=str, default="data",
+                        help="root containing <dataset>/ trees (reference hard-codes 'data')")
+    parser.add_argument("--shape_dir", type=str, default="Renders_semi_sphere",
+                        choices=["Renders_semi_sphere", "pointcloud"])
+    parser.add_argument("--shape", type=str, default="MultiView",
+                        choices=["MultiView", "PointCloud", "None"])
+    parser.add_argument("--view_num", type=int, default=12)
+    parser.add_argument("--tour", type=int, default=2)
+    parser.add_argument("--novel", action="store_true")
+    parser.add_argument("--keypoint", action="store_true")
+    parser.add_argument("--shot", type=int, default=None)
+    parser.add_argument("--random", action="store_true")
+    parser.add_argument("--random_range", type=int, default=0)
+    parser.add_argument("--input_dim", type=int, default=224)
+    parser.add_argument("--point_num", type=int, default=2500)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute dtype (TPU MXU fast path)")
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="data-parallel device count (default: all local)")
+
+
+def normalize_shape(opt) -> None:
+    if opt.shape == "None":
+        opt.shape = None
+
+
+def compute_dtype(opt):
+    return jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32
+
+
+def num_classes(bin_size: int) -> tuple[int, int, int]:
+    return int(360 / bin_size), int(180 / bin_size), int(360 / bin_size)
+
+
+def build_student(opt, img_feature_dim=None):
+    azi, ele, inp = num_classes(opt.bin_size)
+    return BaselineEstimator(
+        img_feature_dim=img_feature_dim or opt.img_feature_dim,
+        azi_classes=azi, ele_classes=ele, inp_classes=inp,
+        bin_size=opt.bin_size, dtype=compute_dtype(opt))
+
+
+def build_teacher(opt, img_feature_dim=None, shape_feature_dim=None):
+    azi, ele, inp = num_classes(opt.bin_size)
+    return PoseEstimator(
+        shape=opt.shape, view_num=opt.view_num,
+        img_feature_dim=img_feature_dim or opt.img_feature_dim,
+        shape_feature_dim=shape_feature_dim or opt.shape_feature_dim,
+        azi_classes=azi, ele_classes=ele, inp_classes=inp,
+        dtype=compute_dtype(opt))
+
+
+def build_vanilla(opt):
+    azi, ele, inp = num_classes(opt.bin_size)
+    return PoseEstimatorVanilla(
+        shape=opt.shape, view_num=opt.view_num,
+        img_feature_dim=opt.img_feature_dim,
+        shape_feature_dim=opt.shape_feature_dim,
+        azi_classes=azi, ele_classes=ele, inp_classes=inp,
+        dtype=compute_dtype(opt))
+
+
+def test_cats_for(dataset: str):
+    return {
+        "ObjectNet3D": OBJECTNET3D_TEST_CATS,
+        "Pascal3D": PASCAL3D_TEST_CATS,
+        "Pix3D": PIX3D_TEST_CATS,
+        "LineMod": LINEMOD_TEST_CATS,
+    }[dataset]
+
+
+def build_train_eval_datasets(opt):
+    """Dataset selection per --dataset, mirroring training.py:205-239."""
+    root_dir = os.path.join(opt.data_root, opt.dataset)
+    annotation_file = f"{opt.dataset}.txt"
+    common = dict(shape=opt.shape, shape_dir=opt.shape_dir, view_num=opt.view_num,
+                  tour=opt.tour, input_dim=opt.input_dim, point_num=opt.point_num)
+
+    if opt.dataset == "ObjectNet3D":
+        cats = OBJECTNET3D_TEST_CATS
+        dataset_train = datasets.Pascal3DContrast(
+            root_dir, annotation_file, train=True, cat_choice=cats,
+            keypoint=opt.keypoint, novel=opt.novel, random_range=opt.random_range,
+            shot=opt.shot, seed=MANUAL_SEED, **common)
+        dataset_eval = datasets.Pascal3D(
+            root_dir, annotation_file, train=False, cat_choice=cats,
+            keypoint=opt.keypoint, novel=opt.novel, random=False, **common)
+    elif opt.dataset == "Pascal3D":
+        cats = ["bus", "motorbike"] if opt.novel else None
+        dataset_train = datasets.Pascal3D(
+            root_dir, annotation_file, train=True, cat_choice=cats, novel=opt.novel,
+            random=opt.random, random_range=opt.random_range, **common)
+        dataset_eval = datasets.Pascal3D(
+            root_dir, annotation_file, train=False, cat_choice=cats, novel=opt.novel,
+            random=False, **common)
+    elif opt.dataset == "ShapeNetCore":
+        bg_dir = os.path.join(opt.data_root, "SUN")
+        dataset_train = datasets.ShapeNet(
+            root_dir, annotation_file, bg_dir=bg_dir, train=True, random=opt.random,
+            cat_choice=["2818832", "2871439", "2933112", "3001627", "4256520",
+                        "4379243"],
+            novel=opt.novel, shape=opt.shape, shape_dir=opt.shape_dir,
+            view_num=opt.view_num, tour=opt.tour, random_range=opt.random_range)
+        dataset_eval = datasets.Pix3D(
+            os.path.join(opt.data_root, "Pix3D"), "Pix3D.txt", shape=opt.shape,
+            view_num=opt.view_num, tour=opt.tour)
+    else:
+        raise SystemExit(f"unsupported training dataset {opt.dataset}")
+    return dataset_train, dataset_eval
+
+
+def make_dp_mesh(opt):
+    from pose3d_tpu.parallel import make_mesh
+
+    devices = jax.devices()
+    if opt.n_devices is not None:
+        devices = devices[: opt.n_devices]
+    if len(devices) <= 1:
+        return None
+    return make_mesh(devices)

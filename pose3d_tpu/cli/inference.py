@@ -1,0 +1,65 @@
+"""Single-image inference CLI.
+
+Parity with /root/reference/inference_imageBased.py (the working one; the
+teacher `inference.py` imports a module missing from the reference repo,
+SURVEY.md §2 #24): loads a student checkpoint, resize-pads the image to 224,
+normalizes, runs the inference decoder (compute_vp_pred: (bin + raw delta) *
+bin_size clamped to [0, 360]) and converts back to annotation convention
+(ele -= 90, inp -= 180).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from pose3d_tpu import geometry
+from pose3d_tpu.cli import common
+from pose3d_tpu.data import transforms as T
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", type=str, required=True)
+    parser.add_argument("--img_path", type=str, required=True)
+    parser.add_argument("--img_feature_dim", type=int, default=2048)
+    parser.add_argument("--bin_size", type=int, default=15)
+    parser.add_argument("--input_dim", type=int, default=224)
+    parser.add_argument("--bf16", action="store_true")
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    model = common.build_student(opt, img_feature_dim=opt.img_feature_dim)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, opt.input_dim, opt.input_dim, 3)),
+                           train=False)
+    from pose3d_tpu.cli.trainingKD import _load_ckpt_into
+
+    variables = _load_ckpt_into(variables, opt.ckpt)
+
+    im = Image.open(opt.img_path).convert("RGB")
+    im = T.resize_pad(im, opt.input_dim)
+    arr = T.normalize_image(T.to_float_array(im))[None]
+
+    @jax.jit
+    def infer(v, x):
+        outputs, _ = model.apply(v, x, train=False)
+        return geometry.decode_predictions_inference(
+            tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+
+    vp = np.asarray(infer(variables, jnp.asarray(arr)))[0]
+    # back to annotation convention (inference_imageBased.py:61-62)
+    vp[1] -= 90.0
+    vp[2] -= 180.0
+    print("pred_azi=%.2f pred_ele=%.2f pred_inp=%.2f" % tuple(vp))
+    return vp
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Teacher / baseline training CLI — flag-compatible with the reference
+`training.py` (reference training.py:155-191 for the flag set; §3.1 of
+SURVEY.md for the flow).
+
+Example (reference README.md:62-64 recipe):
+  python -m pose3d_tpu.cli.training --dataset ObjectNet3D --shape PointCloud \
+      --shape_dir pointcloud --batch_size 160 --n_epoch 300 --lr 1e-4 \
+      --decrease 200 --random
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.cli import common
+from pose3d_tpu.data.loader import DataLoader
+from pose3d_tpu.parallel import replicate
+from pose3d_tpu.train import create_train_state, multistep_lr, torch_style_adam
+from pose3d_tpu.train.trainer import TeacherTrainer
+from pose3d_tpu.utils import TxtLogger
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    common.add_common_flags(parser)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--decrease", type=int, default=130, help="epoch to decrease")
+    parser.add_argument("--n_epoch", type=int, default=200)
+    parser.add_argument("--print_freq", type=int, default=50)
+    parser.add_argument("--result_dir", type=str, default="result")
+    parser.add_argument("--resume", action="store_true",
+                        help="auto-resume from the latest checkpoint")
+    opt = parser.parse_args(argv)
+    common.normalize_shape(opt)
+    return opt
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    print(opt)
+
+    dataset_train, dataset_eval = common.build_train_eval_datasets(opt)
+    train_loader = DataLoader(dataset_train, opt.batch_size, shuffle=True,
+                              num_workers=opt.workers, seed=common.MANUAL_SEED)
+    eval_loader = DataLoader(dataset_eval, opt.batch_size, shuffle=False,
+                             num_workers=opt.workers, seed=common.MANUAL_SEED)
+
+    if opt.shape is None:
+        print("Baseline!")
+        model = common.build_student(opt)
+        example = (jnp.zeros((1, opt.input_dim, opt.input_dim, 3)),)
+    else:
+        model = common.build_teacher(opt)
+        if opt.shape == "PointCloud":
+            shape_ex = jnp.zeros((1, opt.point_num, 3))
+        else:
+            shape_ex = jnp.zeros((1, opt.view_num, opt.input_dim, opt.input_dim, 3))
+        example = (jnp.zeros((1, opt.input_dim, opt.input_dim, 3)), shape_ex)
+
+    steps_per_epoch = max(len(train_loader), 1)
+    schedule = multistep_lr(opt.lr, [opt.decrease * steps_per_epoch])
+    tx = torch_style_adam(schedule, weight_decay=5e-4)
+    state = create_train_state(model, example, jax.random.key(common.MANUAL_SEED), tx)
+
+    mesh = common.make_dp_mesh(opt)
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    training_mode = (f"baseline_{opt.dataset}" if opt.shape is None
+                     else f"{opt.shape}_{opt.dataset}")
+    if opt.novel:
+        training_mode += "_novel"
+    result_path = os.path.join(os.getcwd(), opt.result_dir, training_mode)
+    os.makedirs(result_path, exist_ok=True)
+
+    log = TxtLogger(os.path.join(result_path, "training_log.txt"))
+    log.line(str(opt) + "\n")
+    log.line("training set: " + str(len(dataset_train)))
+    log.line("evaluation set: " + str(len(dataset_eval)))
+
+    if opt.shape is None:
+        # supervised RGB-only baseline (train_vanilla path, training.py:92-148)
+        from pose3d_tpu.train.trainer import SupervisedTrainer
+
+        trainer = SupervisedTrainer(model, state, train_loader, eval_loader,
+                                    dataset_eval.category_names, result_path,
+                                    kind="student", bin_size=opt.bin_size,
+                                    mesh=mesh, print_freq=opt.print_freq)
+    else:
+        trainer = TeacherTrainer(model, state, train_loader, eval_loader,
+                                 dataset_eval.category_names, result_path,
+                                 bin_size=opt.bin_size, mesh=mesh,
+                                 print_freq=opt.print_freq)
+    start_epoch = 0
+    if opt.resume:
+        latest = trainer.ckpt.latest_epoch()
+        if latest is not None:
+            restored = trainer.ckpt.restore("checkpoint", {
+                "params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state})
+            trainer.state = state.replace(**restored)
+            start_epoch = latest + 1
+            print(f"resumed from epoch {latest}")
+    best = trainer.fit(opt.n_epoch, start_epoch=start_epoch)
+    print(f"best val acc: {best:.2f}")
+
+
+if __name__ == "__main__":
+    main()

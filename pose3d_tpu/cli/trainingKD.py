@@ -1,0 +1,157 @@
+"""Student KD training CLI — flag-compatible with the reference
+`trainingKD.py` (reference trainingKD.py:91-133 for the flag set; §3.2 of
+SURVEY.md for the flow).
+
+Dispatch parity (trainingKD.py:280-287): --crd -> 60-epoch feature-KD,
+--stage 1 -> 300-epoch joint teacher+learner, --stage 2 -> 90-epoch response
+KD. The reference's --contrast flag dispatches to a method that does not
+exist (`_train_student_contrast`, a known defect per SURVEY.md §7); here it
+maps to the crd path with the feature-KL term disabled, which is the closest
+live behavior.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.cli import common
+from pose3d_tpu.data.loader import DataLoader
+from pose3d_tpu.parallel import replicate
+from pose3d_tpu.train import create_train_state, multistep_lr, torch_style_adam
+from pose3d_tpu.train.trainer import KDTrainer
+from pose3d_tpu.utils import TxtLogger
+
+EPOCHS = {"contrast": 30, "crd": 60, "stage1": 300, "stage2": 90}  # trainingKD.py:280-287
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    common.add_common_flags(parser)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--decrease", type=int, default=44)
+    parser.add_argument("--teacher_model", type=str, default=None,
+                        help="path to the trained teacher checkpoint (orbax dir or .pth)")
+    parser.add_argument("--student_model", type=str, default=None,
+                        help="optional student warm-start checkpoint")
+    parser.add_argument("--contrast", action="store_true")
+    parser.add_argument("--crd", action="store_true")
+    parser.add_argument("--stage", type=int, default=0)
+    parser.add_argument("--tau", type=float, default=0.5)
+    parser.add_argument("--temperature", type=float, default=1.0)
+    parser.add_argument("--weighting", type=str, default="linear",
+                        choices=["linear", "square", "sqrt", "sin", "sinsin"])
+    parser.add_argument("--n_epoch", type=int, default=None,
+                        help="override the regime's hard-coded epoch count")
+    parser.add_argument("--student_feature_dim", type=int, default=2048,
+                        help="student VGG feature dim (reference hard-codes 2048, "
+                             "trainingKD.py:211)")
+    parser.add_argument("--result_dir", type=str, default="result")
+    # the reference hard-codes the teacher at 1024/1024 (trainingKD.py:213-216)
+    parser.set_defaults(img_feature_dim=1024, shape_feature_dim=1024)
+    opt = parser.parse_args(argv)
+    common.normalize_shape(opt)
+    return opt
+
+
+def _load_ckpt_into(variables, path):
+    """Load an orbax dir or a torch .pth into a flax variables dict
+    (lenient partial merge, reference utils.py:56-73 semantics)."""
+    from pose3d_tpu.train.ckpt import Checkpointer, merge_partial
+
+    if path.endswith((".pth", ".pt")):
+        from pose3d_tpu.train.torch_import import load_torch_variables
+
+        restored = load_torch_variables(path, variables)
+        return restored
+    ckptr = Checkpointer(os.path.dirname(path) or ".")
+    restored = ckptr.restore(os.path.basename(path), target=None)
+    merged, skipped = merge_partial(variables, restored)
+    if skipped:
+        print(f"ckpt: skipped {len(skipped)} mismatched entries")
+    return merged
+
+
+def main(argv=None):
+    opt = parse_args(argv)
+    print(opt)
+
+    dataset_train, dataset_eval = common.build_train_eval_datasets(opt)
+    # eval for the student path is RGB-only regardless of teacher shape
+    train_loader = DataLoader(dataset_train, opt.batch_size, shuffle=True,
+                              num_workers=opt.workers, seed=common.MANUAL_SEED)
+    eval_loader = DataLoader(dataset_eval, opt.batch_size, shuffle=False,
+                             num_workers=opt.workers, seed=common.MANUAL_SEED)
+
+    # students/teachers sized per trainingKD.py:211-216
+    student = common.build_student(opt, img_feature_dim=opt.student_feature_dim)
+    im_ex = jnp.zeros((1, opt.input_dim, opt.input_dim, 3))
+    if opt.shape == "PointCloud":
+        shape_ex = jnp.zeros((1, opt.point_num, 3))
+    else:
+        shape_ex = jnp.zeros((1, opt.view_num, opt.input_dim, opt.input_dim, 3))
+
+    steps_per_epoch = max(len(train_loader), 1)
+    schedule = multistep_lr(opt.lr, [opt.decrease * steps_per_epoch])
+    student_state = create_train_state(student, (im_ex,),
+                                       jax.random.key(common.MANUAL_SEED),
+                                       torch_style_adam(schedule, 5e-4))
+
+    mesh = common.make_dp_mesh(opt)
+
+    result_path = os.path.join(os.getcwd(), opt.result_dir, f"KD_{opt.dataset}")
+    os.makedirs(result_path, exist_ok=True)
+    log = TxtLogger(os.path.join(result_path, "training_log.txt"))
+    log.line(str(opt) + "\n")
+
+    if opt.stage == 1:
+        teacher = common.build_vanilla(opt)
+        teacher_state = create_train_state(
+            teacher, (im_ex, shape_ex), jax.random.key(common.MANUAL_SEED + 1),
+            torch_style_adam(schedule, 5e-4))
+        if mesh is not None:
+            teacher_state = replicate(teacher_state, mesh)
+            student_state = replicate(student_state, mesh)
+        trainer = KDTrainer(student, teacher, student_state, None, train_loader,
+                            eval_loader, dataset_eval.category_names, result_path,
+                            bin_size=opt.bin_size, temperature=opt.temperature,
+                            tau=opt.tau, mesh=mesh, teacher_state=teacher_state)
+        n = opt.n_epoch or EPOCHS["stage1"]
+        best = trainer.fit_stage1(n)
+    else:
+        if opt.stage == 2:
+            teacher = common.build_vanilla(opt)
+        else:
+            teacher = common.build_teacher(opt)
+        teacher_vars = teacher.init(jax.random.key(0), im_ex, shape_ex, train=False)
+        if opt.teacher_model:
+            teacher_vars = _load_ckpt_into(teacher_vars, opt.teacher_model)
+            print("teacher checkpoint loaded")
+        if opt.student_model:
+            sv = _load_ckpt_into({"params": student_state.params,
+                                  "batch_stats": student_state.batch_stats},
+                                 opt.student_model)
+            student_state = student_state.replace(params=sv["params"],
+                                                  batch_stats=sv["batch_stats"])
+        if mesh is not None:
+            student_state = replicate(student_state, mesh)
+            teacher_vars = replicate(teacher_vars, mesh)
+        trainer = KDTrainer(student, teacher, student_state, teacher_vars,
+                            train_loader, eval_loader, dataset_eval.category_names,
+                            result_path, bin_size=opt.bin_size,
+                            temperature=opt.temperature, tau=opt.tau, mesh=mesh)
+        if opt.stage == 2:
+            n = opt.n_epoch or EPOCHS["stage2"]
+            best = trainer.fit_stage2(n)
+        else:
+            n = opt.n_epoch or EPOCHS["crd"]
+            best = trainer.fit_crd(n)
+
+    print(f"best val acc: {best:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -183,7 +183,7 @@ def write_ply(path: str, vertices: np.ndarray, binary: bool = True) -> None:
             f.write(v.astype("<f4").tobytes())
         else:
             for row in v:
-                f.write(("%g %g %g\n" % tuple(row)).encode())
+                f.write(("%.9g %.9g %.9g\n" % tuple(row)).encode())
 
 
 def clear_cache() -> None:

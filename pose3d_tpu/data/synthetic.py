@@ -1,0 +1,133 @@
+"""Synthetic dataset fixtures: a fake ObjectNet3D/Pascal3D-style tree so
+tests, CI and benchmarks never need the real (multi-GB) downloads
+(SURVEY.md §4 'fake-dataset fixtures').
+
+Layout produced by `make_objectnet3d_fixture(root)`:
+  root/
+    ObjectNet3D.txt            — annotation CSV with the reference's columns
+    Images/<cat>_<i>.jpg       — small random RGB images
+    pointcloud/<cat>/<XX>/compressed.ply
+    Renders_semi_sphere/<cat>/<XX>/crop/render_NNN.png  (216 tiny renders)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from PIL import Image
+
+from pose3d_tpu.data import ply
+
+
+def make_objectnet3d_fixture(
+    root: str,
+    categories: tuple[str, ...] = ("bed", "chair"),
+    n_train_per_cat: int = 6,
+    n_val_per_cat: int = 4,
+    image_size: int = 96,
+    n_vertices: int = 300,
+    with_renders: bool = False,
+    n_renders: int = 216,
+    render_size: int = 32,
+    seed: int = 0,
+) -> str:
+    """Build the tree and return the annotation filename."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "Images"), exist_ok=True)
+
+    rows = []
+    for cat in categories:
+        for split, n in (("train", n_train_per_cat), ("val", n_val_per_cat)):
+            for i in range(n):
+                name = f"{cat}_{split}_{i}.jpg"
+                img = (rng.random((image_size, image_size, 3)) * 255).astype(np.uint8)
+                Image.fromarray(img).save(os.path.join(root, "Images", name))
+                w = int(rng.integers(image_size // 2, image_size))
+                h = int(rng.integers(image_size // 2, image_size))
+                left = int(rng.integers(0, image_size - w + 1))
+                upper = int(rng.integers(0, image_size - h + 1))
+                rows.append(
+                    dict(
+                        im_path=os.path.join("Images", name),
+                        cat=cat,
+                        cad_index=1 + int(rng.integers(0, 2)),
+                        set=split,
+                        left=left,
+                        upper=upper,
+                        right=left + w,
+                        lower=upper + h,
+                        azimuth=float(rng.integers(-180, 180)),
+                        elevation=float(rng.integers(-89, 89)),
+                        inplane_rotation=float(rng.integers(-179, 179)),
+                        difficult=0,
+                        truncated=0,
+                        occluded=0,
+                        has_keypoints=1,
+                    )
+                )
+
+    frame = pd.DataFrame(rows)
+    annotation_file = "ObjectNet3D.txt"
+    frame.to_csv(os.path.join(root, annotation_file), index=False)
+
+    for cat in categories:
+        for cad in (1, 2):
+            pc_dir = os.path.join(root, "pointcloud", cat, "%02d" % cad)
+            os.makedirs(pc_dir, exist_ok=True)
+            verts = rng.standard_normal((n_vertices, 3)).astype(np.float32)
+            ply.write_ply(os.path.join(pc_dir, "compressed.ply"), verts)
+            if with_renders:
+                rdir = os.path.join(root, "Renders_semi_sphere", cat, "%02d" % cad, "crop")
+                os.makedirs(rdir, exist_ok=True)
+                for k in range(n_renders):
+                    img = (rng.random((render_size, render_size, 3)) * 255).astype(np.uint8)
+                    Image.fromarray(img).save(os.path.join(rdir, "render_%03d.png" % k))
+
+    return annotation_file
+
+
+def make_pix3d_fixture(
+    root: str,
+    categories: tuple[str, ...] = ("bed", "chair"),
+    n_per_cat: int = 4,
+    image_size: int = 96,
+    seed: int = 0,
+) -> str:
+    """Pix3DContrast-style annotation (cls_name column) + images."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
+    rows = []
+    for cat in categories:
+        for split in ("train", "val"):
+            for i in range(n_per_cat):
+                name = f"{cat}_{split}_{i}.jpg"
+                img = (rng.random((image_size, image_size, 3)) * 255).astype(np.uint8)
+                Image.fromarray(img).save(os.path.join(root, "imgs", name))
+                w = int(rng.integers(image_size // 2, image_size))
+                h = int(rng.integers(image_size // 2, image_size))
+                left = int(rng.integers(0, image_size - w + 1))
+                upper = int(rng.integers(0, image_size - h + 1))
+                rows.append(
+                    dict(
+                        im_path=os.path.join("imgs", name),
+                        cls_name=cat,
+                        set=split,
+                        left=left,
+                        upper=upper,
+                        right=left + w,
+                        lower=upper + h,
+                        azimuth=float(rng.integers(0, 360)),
+                        elevation=float(rng.integers(-89, 89)),
+                        inplane_rotation=float(rng.integers(-179, 179)),
+                        difficult=0,
+                        truncated=0,
+                        occluded=0,
+                        has_keypoints=1,
+                    )
+                )
+    frame = pd.DataFrame(rows)
+    annotation_file = "Pix3D.txt"
+    frame.to_csv(os.path.join(root, annotation_file), index=False)
+    return annotation_file

@@ -39,18 +39,23 @@ class ConvBN(nn.Module):
     features: int
     kernel_size: tuple[int, int] = (3, 3)
     strides: tuple[int, int] = (1, 1)
-    padding: Any = "SAME"
+    padding: Any = None  # None -> torch-style symmetric ((k-1)//2): for
+    # stride-2 convs XLA "SAME" places the pad asymmetrically (low=0, high=1),
+    # which misaligns windows vs torch padding=1 and breaks ckpt-import parity
     use_relu: bool = True
     dtype: Dtype = jnp.float32
     axis_name: str | None = None  # set for sync-BN across data shards (shard_map)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        padding = self.padding
+        if padding is None:
+            padding = [((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size]
         x = nn.Conv(
             self.features,
             self.kernel_size,
             strides=self.strides,
-            padding=self.padding,
+            padding=padding,
             use_bias=False,
             dtype=self.dtype,
             param_dtype=jnp.float32,

@@ -38,6 +38,7 @@ class CategoryEvalResult:
     predictions: np.ndarray = field(default=None, repr=False)
     labels: np.ndarray = field(default=None, repr=False)
     errors: np.ndarray = field(default=None, repr=False)
+    cat_ids: np.ndarray = field(default=None, repr=False)
 
 
 def evaluate_categories(
@@ -98,4 +99,5 @@ def evaluate_categories(
         predictions=preds,
         labels=labels,
         errors=errs,
+        cat_ids=cats,
     )

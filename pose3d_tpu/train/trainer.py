@@ -1,0 +1,332 @@
+"""Epoch-level trainers wiring loaders + jit steps + eval + ckpt + logs.
+
+Flow parity (SURVEY.md §3):
+  * TeacherTrainer.fit        — training.py:299-369: per-epoch train sweep,
+    val_new (loss + contrastive val loss), per-category Acc/Med (ONE pass
+    here instead of 20 dataset rebuilds), dual checkpointing (full model +
+    image-encoder-only), txt log line + curve files.
+  * KDTrainer.fit_crd         — trainingKD.py --crd -> _train_student_crd
+    (base_class.py:303-449): 60-epoch student KD with 3-view batches,
+    per-epoch category eval, checkpoint + best-acc save.
+  * KDTrainer.fit_stage1/2    — base_class.py:451-688.
+
+All device work happens inside jit'd steps; trainers only move numpy batches
+to device (sharded over the mesh when one is given) and reduce metrics.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pose3d_tpu.parallel import make_mesh, shard_batch, replicate
+from pose3d_tpu.train import steps as steps_lib
+from pose3d_tpu.train.ckpt import Checkpointer
+from pose3d_tpu.train.evaluate import evaluate_categories, CategoryEvalResult
+from pose3d_tpu.utils import AverageValueMeter, TxtLogger, MetricsWriter
+from pose3d_tpu.utils.logging import plot_curves
+
+
+def _device_batch(batch: dict, mesh) -> dict:
+    arrays = {k: v for k, v in batch.items() if k != "valid"}
+    if mesh is not None:
+        arrays = shard_batch(arrays, mesh)
+    return {**arrays, "valid": batch.get("valid")}
+
+
+def _strip(batch: dict, keys) -> dict:
+    return {k: batch[k] for k in keys if k in batch}
+
+
+class _Base:
+    def __init__(self, result_path: str, mesh=None, logname: str = "training_log.txt"):
+        self.result_path = result_path
+        os.makedirs(result_path, exist_ok=True)
+        self.mesh = mesh
+        self.log = TxtLogger(os.path.join(result_path, logname))
+        self.metrics = MetricsWriter(os.path.join(result_path, "metrics.jsonl"))
+        self.ckpt = Checkpointer(os.path.join(result_path, "ckpt"))
+
+    def _eval(self, eval_step, variables, eval_loader, category_names) -> CategoryEvalResult:
+        def batches():
+            for b in eval_loader:
+                db = _device_batch(b, self.mesh)
+                yield {**db, "cat_id": b["cat_id"], "valid": b["valid"]}
+
+        return evaluate_categories(eval_step, variables, batches(), category_names)
+
+
+class TeacherTrainer(_Base):
+    """Contrastive multimodal teacher training (training.py recipe)."""
+
+    def __init__(self, model, state, train_loader, eval_loader, category_names,
+                 result_path, bin_size: int = 15, mesh=None, print_freq: int = 50):
+        super().__init__(result_path, mesh)
+        self.model = model
+        self.state = state
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.category_names = category_names
+        self.print_freq = print_freq
+        self.train_step = jax.jit(steps_lib.make_teacher_train_step(model, bin_size),
+                                  donate_argnums=(0,))
+        self.eval_step = jax.jit(steps_lib.make_eval_step(model, "teacher", bin_size))
+
+    def fit(self, epochs: int, start_epoch: int = 0, save_best: bool = True):
+        best_acc = 0.0
+        losses = np.zeros((epochs, 2))
+        accuracies = np.zeros((epochs, 2))
+        batch_keys = ("im", "shape", "label")
+        for epoch in range(start_epoch, epochs):
+            self.train_loader.set_epoch(epoch)
+            train_loss = AverageValueMeter()
+            train_acc = AverageValueMeter()
+            t0 = time.time()
+            data_time = AverageValueMeter()
+            batch_time = AverageValueMeter()
+            end = time.time()
+            for i, batch in enumerate(self.train_loader):
+                db = _device_batch(_strip(batch, batch_keys), self.mesh)
+                data_time.update(time.time() - end)
+                self.state, metrics = self.train_step(self.state, db)
+                n = int(batch["valid"].sum())
+                train_loss.update(float(metrics["loss"]), n)
+                train_acc.update(float(metrics["acc_rot"]), n)
+                batch_time.update(time.time() - end)
+                end = time.time()
+                if (i + 1) % self.print_freq == 0:
+                    print(f"\tEpoch {epoch:3d} --- Iter [{i + 1}/{len(self.train_loader)}] "
+                          f"Train loss: {train_loss.avg:.2f} || Train accuracy: {train_acc.avg:.2f}")
+                    print(f"\tData loading time: {data_time.val:.2f} ({data_time.avg:.2f})"
+                          f"-- Batch time: {batch_time.val:.2f} ({batch_time.avg:.2f})\n")
+
+            variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+            result = self._eval(self.eval_step, variables, self.eval_loader,
+                                self.category_names)
+            eval_acc = result.mean_acc
+
+            is_best = eval_acc > best_acc
+            best_acc = max(best_acc, eval_acc)
+            losses[epoch] = [train_loss.avg, result.val_loss]
+            accuracies[epoch] = [train_acc.avg, eval_acc]
+
+            # dual checkpointing: full model + image-encoder-only
+            # (training.py:334-350)
+            self.ckpt.save_epoch(epoch, {
+                "params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+            }, is_best=is_best and save_best)
+            img_encoder = _extract_img_encoder(self.state.params, self.state.batch_stats)
+            if img_encoder is not None:
+                self.ckpt.save("checkpoint_img_encoder", img_encoder)
+                if is_best and save_best:
+                    self.ckpt.save("best_img_encoder", img_encoder)
+
+            self.log.line(
+                "Epoch: %03d || train_loss %.2f -- val_loss %.2f || train_acc %.2f -- "
+                "val_acc %.2f -- val_contrastive_loss %.2f \n" %
+                (epoch, train_loss.avg, result.val_loss, train_acc.avg, eval_acc,
+                 result.val_nce_loss))
+            self.metrics.write({"kind": "teacher_epoch", "epoch": epoch,
+                                "train_loss": train_loss.avg, "train_acc": train_acc.avg,
+                                "val_loss": result.val_loss, "val_acc": eval_acc,
+                                "val_nce": result.val_nce_loss,
+                                "epoch_seconds": time.time() - t0,
+                                "per_category_acc": result.per_category_acc})
+            plot_curves(self.result_path, losses, accuracies, epoch)
+        return best_acc
+
+
+class SupervisedTrainer(_Base):
+    """Plain 4-term pose-loss training (training.py:92-148 `train_vanilla`):
+    the RGB-only BaselineEstimator baseline (--shape None) or a
+    PoseEstimatorVanilla teacher."""
+
+    def __init__(self, model, state, train_loader, eval_loader, category_names,
+                 result_path, kind: str = "student", bin_size: int = 15, mesh=None,
+                 print_freq: int = 50):
+        super().__init__(result_path, mesh)
+        self.model = model
+        self.state = state
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.category_names = category_names
+        self.print_freq = print_freq
+        has_shape = kind != "student"
+        self.batch_keys = ("im", "shape", "label") if has_shape else ("im", "label")
+        self.train_step = jax.jit(
+            steps_lib.make_vanilla_train_step(model, has_shape, bin_size),
+            donate_argnums=(0,))
+        self.eval_step = jax.jit(steps_lib.make_eval_step(model, kind, bin_size))
+
+    def fit(self, epochs: int, start_epoch: int = 0):
+        best_acc = 0.0
+        losses = np.zeros((epochs, 2))
+        accuracies = np.zeros((epochs, 2))
+        for epoch in range(start_epoch, epochs):
+            self.train_loader.set_epoch(epoch)
+            loss_m, acc_m = AverageValueMeter(), AverageValueMeter()
+            t0 = time.time()
+            for i, batch in enumerate(self.train_loader):
+                db = _device_batch(_strip(batch, self.batch_keys), self.mesh)
+                self.state, metrics = self.train_step(self.state, db)
+                n = int(batch["valid"].sum())
+                loss_m.update(float(metrics["loss"]), n)
+                acc_m.update(float(metrics["acc_rot"]), n)
+                if (i + 1) % self.print_freq == 0:
+                    print(f"\tEpoch {epoch:3d} --- Iter [{i + 1}/{len(self.train_loader)}] "
+                          f"Train loss: {loss_m.avg:.2f} || Train accuracy: {acc_m.avg:.2f}")
+
+            variables = {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats}
+            result = self._eval(self.eval_step, variables, self.eval_loader,
+                                self.category_names)
+            is_best = result.mean_acc > best_acc
+            best_acc = max(best_acc, result.mean_acc)
+            losses[epoch] = [loss_m.avg, result.val_loss]
+            accuracies[epoch] = [acc_m.avg, result.mean_acc]
+            self.ckpt.save_epoch(epoch, {"params": self.state.params,
+                                         "batch_stats": self.state.batch_stats,
+                                         "opt_state": self.state.opt_state},
+                                 is_best=is_best)
+            self.log.line(
+                "Epoch: %03d || train_loss %.2f -- val_loss %.2f || train_acc %.2f -- "
+                "val_acc %.2f \n" %
+                (epoch, loss_m.avg, result.val_loss, acc_m.avg, result.mean_acc))
+            self.metrics.write({"kind": "supervised_epoch", "epoch": epoch,
+                                "train_loss": loss_m.avg, "train_acc": acc_m.avg,
+                                "val_acc": result.mean_acc, "val_med": result.mean_med,
+                                "epoch_seconds": time.time() - t0})
+            plot_curves(self.result_path, losses, accuracies, epoch)
+        return best_acc
+
+
+def _extract_img_encoder(params, batch_stats):
+    """Pull the image-encoder subtree if present (ResNet_0 inside the teacher,
+    VGG_0 inside the student)."""
+    for key in ("ResNet_0", "VGG_0"):
+        if key in params:
+            return {"params": params[key],
+                    "batch_stats": batch_stats.get(key, {}) if hasattr(batch_stats, "get") else {}}
+    return None
+
+
+class KDTrainer(_Base):
+    """Distiller covering the --crd / stage-1 / stage-2 / vanilla regimes."""
+
+    def __init__(self, student_model, teacher_model, student_state, teacher_vars,
+                 train_loader, eval_loader, category_names, result_path,
+                 bin_size: int = 15, temperature: float = 1.0, tau: float = 0.5,
+                 mesh=None, teacher_state=None):
+        super().__init__(result_path, mesh)
+        self.student_model = student_model
+        self.teacher_model = teacher_model
+        self.student_state = student_state
+        self.teacher_vars = teacher_vars
+        self.teacher_state = teacher_state
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.category_names = category_names
+        self.bin_size = bin_size
+        self.temperature = temperature
+        self.tau = tau
+        self.student_eval_step = jax.jit(
+            steps_lib.make_eval_step(student_model, "student", bin_size))
+
+    # ---------------- crd (the main student path) ----------------
+    def fit_crd(self, epochs: int, start_epoch: int = 0):
+        step = jax.jit(steps_lib.make_kd_crd_step(
+            self.student_model, self.teacher_model, self.bin_size, self.temperature),
+            donate_argnums=(0,))
+        keys = ("im", "shape", "label", "im_flip", "label_flip", "im_rot", "label_rot")
+        return self._student_loop(step, keys, epochs, start_epoch, "crd")
+
+    # ---------------- stage 2 ----------------
+    def fit_stage2(self, epochs: int, start_epoch: int = 0):
+        step = jax.jit(steps_lib.make_stage2_step(
+            self.student_model, self.teacher_model, self.bin_size, self.temperature),
+            donate_argnums=(0,))
+        keys = ("im", "shape", "label", "im_flip", "label_flip", "im_rot", "label_rot")
+        return self._student_loop(step, keys, epochs, start_epoch, "stage2")
+
+    def _student_loop(self, step, keys, epochs, start_epoch, tag):
+        best_acc = 0.0
+        for epoch in range(start_epoch, epochs):
+            self.train_loader.set_epoch(epoch)
+            loss_m, acc_m = AverageValueMeter(), AverageValueMeter()
+            t0 = time.time()
+            for batch in self.train_loader:
+                db = _device_batch(_strip(batch, keys), self.mesh)
+                self.student_state, metrics = step(self.student_state,
+                                                   self.teacher_vars, db)
+                n = int(batch["valid"].sum())
+                loss_m.update(float(metrics["loss"]), n)
+                acc_m.update(float(metrics["acc_rot"]), n)
+
+            variables = {"params": self.student_state.params,
+                         "batch_stats": self.student_state.batch_stats}
+            result = self._eval(self.student_eval_step, variables, self.eval_loader,
+                                self.category_names)
+
+            is_best = result.mean_acc > best_acc
+            best_acc = max(best_acc, result.mean_acc)
+            self.ckpt.save_epoch(epoch, {"params": self.student_state.params,
+                                         "batch_stats": self.student_state.batch_stats},
+                                 is_best=is_best)
+
+            self.log.line(
+                "Student Epoch: %03d || train_loss %.2f || train_acc %.2f -- "
+                "val_acc %.2f -- val_med %.2f \n" %
+                (epoch + 1, loss_m.avg, acc_m.avg, result.mean_acc, result.mean_med))
+            self.metrics.write({"kind": f"{tag}_epoch", "epoch": epoch,
+                                "train_loss": loss_m.avg, "train_acc": acc_m.avg,
+                                "val_acc": result.mean_acc, "val_med": result.mean_med,
+                                "epoch_seconds": time.time() - t0})
+        return best_acc
+
+    # ---------------- stage 1 (joint teacher + learner) ----------------
+    def fit_stage1(self, epochs: int, start_epoch: int = 0):
+        assert self.teacher_state is not None, "stage 1 trains the teacher too"
+        step = jax.jit(steps_lib.make_stage1_step(
+            self.teacher_model, self.student_model, self.bin_size, self.tau),
+            donate_argnums=(0, 1))
+        keys = ("im", "shape", "label")
+        teacher_eval_step = jax.jit(
+            steps_lib.make_eval_step(self.teacher_model, "vanilla", self.bin_size))
+        best_acc = 0.0
+        for epoch in range(start_epoch, epochs):
+            self.train_loader.set_epoch(epoch)
+            loss_m, acc_m = AverageValueMeter(), AverageValueMeter()
+            for batch in self.train_loader:
+                db = _device_batch(_strip(batch, keys), self.mesh)
+                self.teacher_state, self.student_state, metrics = step(
+                    self.teacher_state, self.student_state, db)
+                n = int(batch["valid"].sum())
+                loss_m.update(float(metrics["loss"]), n)
+                acc_m.update(float(metrics["acc_rot"]), n)
+
+            variables = {"params": self.teacher_state.params,
+                         "batch_stats": self.teacher_state.batch_stats}
+            result = self._eval(teacher_eval_step, variables, self.eval_loader,
+                                self.category_names)
+            is_best = result.mean_acc > best_acc
+            best_acc = max(best_acc, result.mean_acc)
+            self.ckpt.save_epoch(epoch, {
+                "teacher": {"params": self.teacher_state.params,
+                            "batch_stats": self.teacher_state.batch_stats},
+                "student": {"params": self.student_state.params,
+                            "batch_stats": self.student_state.batch_stats},
+            }, is_best=is_best)
+            self.log.line(
+                "Student Epoch: %03d || train_loss %.2f || train_acc %.2f -- "
+                "val_acc %.2f -- val_med %.2f \n" %
+                (epoch + 1, loss_m.avg, acc_m.avg, result.mean_acc, result.mean_med))
+            self.metrics.write({"kind": "stage1_epoch", "epoch": epoch,
+                                "train_loss": loss_m.avg, "val_acc": result.mean_acc})
+        return best_acc

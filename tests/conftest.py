@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The axon TPU plugin in this image overrides JAX_PLATFORMS at import time;
+# the config update below reliably forces the virtual CPU platform.
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() == 8, jax.devices()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,117 @@
+"""Checkpoint tests: orbax save/restore roundtrip, lenient partial merge, and
+the PyTorch .pth importer validated end-to-end against the reference torch
+models (read-only import from /root/reference): same input -> same output."""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pose3d_tpu.train.ckpt import Checkpointer, merge_partial
+
+
+def test_orbax_roundtrip(tmp_path):
+    tree = {"params": {"a": np.arange(6, dtype=np.float32).reshape(2, 3)},
+            "batch_stats": {"b": np.ones(4, np.float32)}}
+    ck = Checkpointer(str(tmp_path / "ckpt"))
+    ck.save_epoch(3, tree, is_best=True)
+    assert ck.latest_epoch() == 3
+    restored = ck.restore("checkpoint", target=tree)
+    np.testing.assert_array_equal(restored["params"]["a"], tree["params"]["a"])
+    best = ck.restore("best", target=tree)
+    np.testing.assert_array_equal(best["batch_stats"]["b"], tree["batch_stats"]["b"])
+
+
+def test_merge_partial_keeps_mismatches():
+    target = {"a": np.zeros((2, 2)), "b": {"c": np.zeros(3), "d": np.zeros(4)}}
+    restored = {"a": np.ones((2, 2)), "b": {"c": np.ones(5)}}  # c mismatched, d missing
+    merged, skipped = merge_partial(target, restored)
+    np.testing.assert_array_equal(merged["a"], np.ones((2, 2)))
+    np.testing.assert_array_equal(merged["b"]["c"], np.zeros(3))
+    np.testing.assert_array_equal(merged["b"]["d"], np.zeros(4))
+    assert len(skipped) == 2
+
+
+# --------------------------------------------------------------------------
+# torch import: build a torch reference model, save, import, compare outputs
+# --------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def reference_models():
+    sys.path.insert(0, "/root/reference")
+    import torch  # noqa: F401
+    from auxiliary.model import BaselineEstimator as TorchBaseline  # type: ignore
+    from auxiliary.model import PoseEstimator as TorchPose  # type: ignore
+
+    return TorchBaseline, TorchPose
+
+
+@pytest.mark.slow
+def test_torch_import_student_output_parity(tmp_path, reference_models):
+    import torch
+
+    TorchBaseline, _ = reference_models
+    torch.manual_seed(0)
+    tmodel = TorchBaseline(img_feature_dim=2048)
+    tmodel.eval()
+    path = str(tmp_path / "student.pth")
+    torch.save({"state_dict": tmodel.state_dict()}, path)
+
+    from pose3d_tpu.models import BaselineEstimator
+    from pose3d_tpu.train.torch_import import load_torch_variables
+
+    model = BaselineEstimator(img_feature_dim=2048)
+    im = np.random.default_rng(0).standard_normal((2, 224, 224, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(im), train=False)
+    variables = load_torch_variables(path, variables)
+
+    outputs, proj = model.apply(variables, jnp.asarray(im), train=False)
+
+    with torch.no_grad():
+        t_out, t_proj = tmodel(
+            torch.from_numpy(np.ascontiguousarray(im.transpose(0, 3, 1, 2))))
+
+    for i in range(6):
+        np.testing.assert_allclose(np.asarray(outputs[i]), t_out[i].numpy(),
+                                   rtol=1e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(proj), t_proj.numpy(), rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_torch_import_teacher_output_parity(tmp_path, reference_models):
+    import torch
+
+    _, TorchPose = reference_models
+    torch.manual_seed(0)
+    tmodel = TorchPose(shape="PointCloud", img_feature_dim=1024, shape_feature_dim=1024)
+    tmodel.eval()
+    path = str(tmp_path / "teacher.pth")
+    torch.save({"model": tmodel.state_dict()}, path)
+
+    from pose3d_tpu.models import PoseEstimator
+    from pose3d_tpu.train.torch_import import load_torch_variables
+
+    model = PoseEstimator(shape="PointCloud", img_feature_dim=1024,
+                          shape_feature_dim=1024)
+    rng = np.random.default_rng(1)
+    im = rng.standard_normal((2, 224, 224, 3)).astype(np.float32)
+    pc = rng.random((2, 500, 3)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(im), jnp.asarray(pc),
+                           train=False)
+    variables = load_torch_variables(path, variables)
+
+    outputs, fused, proj = model.apply(variables, jnp.asarray(im), jnp.asarray(pc),
+                                       train=False)
+
+    with torch.no_grad():
+        t_out, t_fused, t_proj = tmodel(
+            torch.from_numpy(im.transpose(0, 3, 1, 2)),
+            torch.from_numpy(pc.transpose(0, 2, 1)))
+
+    np.testing.assert_allclose(np.asarray(fused), t_fused.numpy(), rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(proj), t_proj.numpy(), rtol=1e-3, atol=2e-3)
+    for i in range(6):
+        np.testing.assert_allclose(np.asarray(outputs[i]), t_out[i].numpy(),
+                                   rtol=1e-3, atol=2e-3)

@@ -1,0 +1,222 @@
+"""Data-layer tests: label algebra goldens, PLY roundtrip (numpy + native),
+annotation filter parity semantics, dataset sample shapes, loader behavior."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pose3d_tpu.data import annotations as anno
+from pose3d_tpu.data import datasets, loader, ply, synthetic
+from pose3d_tpu.data import transforms as T
+
+
+# ----------------------------- label algebra --------------------------------
+
+
+def test_process_viewpoint_label_golden():
+    # dataset.py:428-434 semantics
+    lab = T.process_viewpoint_label(np.array([30.0, -10.0, -90.0]))
+    assert lab.tolist() == [330, 80, 90]
+    lab = T.process_viewpoint_label(np.array([0.0, 0.0, 0.0]))
+    assert lab.tolist() == [0, 90, 180]
+    lab = T.process_viewpoint_label(np.array([30.0, -10.0, -90.0]), offset=40)
+    assert lab.tolist() == [10, 80, 90]
+
+
+def test_flip_label_golden():
+    # flip: azi -> 360 - azi, inp -> -inp (dataset.py:570-572)
+    raw = np.array([30.0, 20.0, 45.0])
+    flipped = T.flip_label(raw)
+    assert flipped.tolist() == [330.0, 20.0, -45.0]
+    # composed with canonicalization: azi=(360-330)%360=30, ele=110, inp=(-45+180)%360=135
+    lab = T.process_viewpoint_label(flipped)
+    assert lab.tolist() == [30, 110, 135]
+
+
+def test_rotate_label_wraparound():
+    assert T.rotate_label(np.array([0.0, 0.0, 175.0]), 15)[2] == pytest.approx(-170.0)
+    assert T.rotate_label(np.array([0.0, 0.0, -175.0]), -15)[2] == pytest.approx(170.0)
+    assert T.rotate_label(np.array([0.0, 0.0, 10.0]), 15)[2] == pytest.approx(25.0)
+
+
+def test_multiview_ids_golden():
+    # view_num=12, tour=2, mutation=0: every 12th of two 72-rings
+    ids = T.multiview_ids(12, 2, 0)
+    assert ids.tolist() == [0, 12, 24, 36, 48, 60, 72, 84, 96, 108, 120, 132]
+    # mutation rolls the ring start
+    ids_m = T.multiview_ids(12, 2, 3)
+    assert ids_m.tolist() == [3, 15, 27, 39, 51, 63, 75, 87, 99, 111, 123, 135]
+    ids_t1 = T.multiview_ids(12, 1, 0)
+    assert ids_t1.tolist() == [72 + 6 * i for i in range(12)]
+
+
+def test_sample_pointcloud_normalized(rng):
+    verts = rng.standard_normal((500, 3)).astype(np.float32) * 7 + 3
+    pts = T.sample_pointcloud(verts, 250, rotation_deg=30, rng=rng)
+    assert pts.shape == (250, 3)
+    assert pts.min() == pytest.approx(0.0, abs=1e-6)
+    assert pts.max() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_resize_pad_square():
+    from PIL import Image
+
+    im = Image.new("RGB", (100, 50), (255, 0, 0))
+    out = T.resize_pad(im, 224)
+    assert out.size == (224, 224)
+    arr = np.asarray(out)
+    assert arr[112, 112].tolist() == [255, 0, 0]  # center is image
+    assert arr[5, 112].tolist() == [0, 0, 0]  # top is pad
+
+
+# ----------------------------- PLY ------------------------------------------
+
+
+def test_ply_roundtrip_binary_and_ascii(tmp_path, rng):
+    verts = rng.standard_normal((123, 3)).astype(np.float32)
+    for binary in (True, False):
+        p = str(tmp_path / f"m_{binary}.ply")
+        ply.write_ply(p, verts, binary=binary)
+        out = ply.load_vertices(p, cache=False)
+        np.testing.assert_allclose(out, verts, rtol=1e-6)
+
+
+def test_ply_native_matches_numpy(tmp_path, rng):
+    lib = ply._find_native()
+    if lib is None:
+        pytest.skip("native ply reader not built")
+    verts = rng.standard_normal((257, 3)).astype(np.float32)
+    p = str(tmp_path / "m.ply")
+    ply.write_ply(p, verts, binary=True)
+    native = ply._load_native(p)
+    numpy_ = ply._load_numpy(p)
+    np.testing.assert_allclose(native, numpy_, rtol=1e-6)
+
+
+def test_ply_cache(tmp_path, rng):
+    verts = rng.standard_normal((50, 3)).astype(np.float32)
+    p = str(tmp_path / "m.ply")
+    ply.write_ply(p, verts)
+    a = ply.load_vertices(p)
+    b = ply.load_vertices(p)
+    assert a is b  # cached object identity
+    ply.clear_cache()
+
+
+# ----------------------------- fixtures + datasets --------------------------
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("objectnet3d"))
+    synthetic.make_objectnet3d_fixture(root, n_train_per_cat=6, n_val_per_cat=4)
+    return root
+
+
+def test_annotation_filtering(fixture_root):
+    train = anno.pascal3d_frame(fixture_root, "ObjectNet3D.txt", train=True)
+    val = anno.pascal3d_frame(fixture_root, "ObjectNet3D.txt", train=False)
+    assert len(train) == 12 and len(val) == 8
+    assert set(train.set) == {"train"} and set(val.set) == {"val"}
+    # azimuth wrapped non-negative for ObjectNet3D
+    assert (train.azimuth >= 0).all()
+    # novel-category exclusion drops the chosen cats from TRAIN only
+    novel = anno.pascal3d_frame(fixture_root, "ObjectNet3D.txt", train=True,
+                                novel=True, cat_choice=["bed"])
+    assert "bed" not in set(novel.cat)
+    # eval keeps only the chosen cats
+    only = anno.pascal3d_frame(fixture_root, "ObjectNet3D.txt", train=False,
+                               cat_choice=["bed"])
+    assert set(only.cat) == {"bed"}
+
+
+def test_fewshot_sampling(fixture_root):
+    fs = anno.pascal3d_frame(fixture_root, "ObjectNet3D.txt", train=True, shot=2, seed=0)
+    counts = fs.groupby("cat").size()
+    assert (counts == 2).all()
+
+
+def test_pascal3d_contrast_train_sample(fixture_root):
+    ds = datasets.Pascal3DContrast(
+        fixture_root, "ObjectNet3D.txt", train=True, shape="PointCloud",
+        shape_dir="pointcloud", point_num=100, input_dim=64,
+    )
+    rng = np.random.default_rng(0)
+    s = ds.get(0, rng)
+    assert s["im"].shape == (64, 64, 3) and s["im"].dtype == np.float32
+    assert s["im_flip"].shape == (64, 64, 3) and s["im_rot"].shape == (64, 64, 3)
+    assert s["shape"].shape == (100, 3)
+    for k in ("label", "label_flip", "label_rot"):
+        lab = s[k]
+        assert lab.shape == (3,)
+        assert 0 <= lab[0] < 360 and 0 <= lab[1] < 180 and 0 <= lab[2] < 360
+
+
+def test_pascal3d_contrast_val_sample(fixture_root):
+    ds = datasets.Pascal3DContrast(
+        fixture_root, "ObjectNet3D.txt", train=False, shape=None, input_dim=64,
+    )
+    s = ds.get(0, np.random.default_rng(0))
+    assert set(s.keys()) == {"im", "label", "cat_id"}
+    assert s["cat_id"] >= 0
+
+
+def test_pascal3d_train_sample(fixture_root):
+    ds = datasets.Pascal3D(
+        fixture_root, "ObjectNet3D.txt", train=True, shape="PointCloud",
+        shape_dir="pointcloud", point_num=64, input_dim=64, random=True,
+        novel=False,
+    )
+    s = ds.get(1, np.random.default_rng(3))
+    assert s["im"].shape == (64, 64, 3)
+    assert s["shape"].shape == (64, 3)
+
+
+def test_loader_batches_and_padding(fixture_root):
+    ds = datasets.Pascal3DContrast(
+        fixture_root, "ObjectNet3D.txt", train=False, shape=None, input_dim=32,
+    )
+    dl = loader.DataLoader(ds, batch_size=3, shuffle=False, num_workers=2, seed=1)
+    batches = list(dl)
+    assert len(batches) == len(dl)
+    total_valid = sum(int(b["valid"].sum()) for b in batches)
+    assert total_valid == len(ds)
+    for b in batches:
+        assert b["im"].shape == (3, 32, 32, 3)
+        assert b["label"].shape == (3, 3)
+
+
+def test_loader_determinism(fixture_root):
+    ds = datasets.Pascal3DContrast(
+        fixture_root, "ObjectNet3D.txt", train=True, shape=None, input_dim=32,
+    )
+    dl1 = loader.DataLoader(ds, batch_size=4, shuffle=True, num_workers=0, seed=7)
+    dl2 = loader.DataLoader(ds, batch_size=4, shuffle=True, num_workers=3, seed=7)
+    b1 = next(iter(dl1))
+    b2 = next(iter(dl2))
+    np.testing.assert_allclose(b1["im"], b2["im"])
+    np.testing.assert_array_equal(b1["label"], b2["label"])
+
+
+def test_loader_host_sharding(fixture_root):
+    ds = datasets.Pascal3DContrast(
+        fixture_root, "ObjectNet3D.txt", train=False, shape=None, input_dim=32,
+    )
+    dl0 = loader.DataLoader(ds, batch_size=2, shuffle=False, num_workers=0,
+                            process_index=0, process_count=2)
+    dl1 = loader.DataLoader(ds, batch_size=2, shuffle=False, num_workers=0,
+                            process_index=1, process_count=2)
+    n0 = sum(int(b["valid"].sum()) for b in dl0)
+    n1 = sum(int(b["valid"].sum()) for b in dl1)
+    assert n0 + n1 == len(ds)
+
+
+def test_pix3d_contrast_pose_batch(tmp_path):
+    root = str(tmp_path)
+    synthetic.make_pix3d_fixture(root, n_per_cat=8)
+    ds = datasets.Pix3DContrast(root, "Pix3D.txt", train=True, pose_batch=True,
+                                bs=4, rot=15, input_dim=32)
+    s = ds.get(5, np.random.default_rng(0))
+    assert s["im"].shape == (32, 32, 3)
+    assert "im_pos" in s and "cls_index" in s

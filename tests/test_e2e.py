@@ -1,0 +1,78 @@
+"""End-to-end CLI smoke tests on the synthetic fixture: teacher training ->
+KD training from the saved teacher -> testing, exercising the full
+data -> model -> step -> eval -> ckpt -> log path that the reference's
+training.py / trainingKD.py / testing.py CLIs cover."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pose3d_tpu.data import synthetic
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    synthetic.make_objectnet3d_fixture(str(root / "ObjectNet3D"),
+                                       n_train_per_cat=4, n_val_per_cat=3)
+    return str(root)
+
+
+def _common_args(data_root, result_dir):
+    return [
+        "--dataset", "ObjectNet3D", "--shape", "PointCloud",
+        "--shape_dir", "pointcloud", "--data_root", data_root,
+        "--batch_size", "4", "--workers", "0", "--input_dim", "64",
+        "--point_num", "64", "--img_feature_dim", "64",
+        "--shape_feature_dim", "64", "--result_dir", result_dir,
+    ]
+
+
+def test_teacher_training_then_kd_then_eval(data_root, tmp_path):
+    from pose3d_tpu.cli import training, trainingKD
+
+    result_dir = str(tmp_path / "result")
+    training.main(_common_args(data_root, result_dir) + ["--n_epoch", "1",
+                                                         "--decrease", "1"])
+
+    run_dir = os.path.join(os.getcwd(), result_dir, "PointCloud_ObjectNet3D")
+    assert os.path.exists(os.path.join(run_dir, "training_log.txt"))
+    log = open(os.path.join(run_dir, "training_log.txt")).read()
+    assert "val_acc" in log and "val_contrastive_loss" in log
+    teacher_ckpt = os.path.join(run_dir, "ckpt", "checkpoint")
+    assert os.path.isdir(teacher_ckpt)
+    assert os.path.isdir(os.path.join(run_dir, "ckpt", "checkpoint_img_encoder"))
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+
+    # KD --crd from the saved teacher
+    trainingKD.main(_common_args(data_root, result_dir) + [
+        "--crd", "--tau", "0.5", "--n_epoch", "1", "--decrease", "1",
+        "--student_feature_dim", "64",
+        "--teacher_model", teacher_ckpt,
+    ])
+    kd_dir = os.path.join(os.getcwd(), result_dir, "KD_ObjectNet3D")
+    kd_log = open(os.path.join(kd_dir, "training_log.txt")).read()
+    assert "Student Epoch" in kd_log
+    assert os.path.isdir(os.path.join(kd_dir, "ckpt", "checkpoint"))
+
+
+def test_testing_cli_student(data_root, tmp_path):
+    from pose3d_tpu.cli import testing
+
+    out_dir = str(tmp_path / "preds")
+    result = testing.main([
+        "--dataset", "ObjectNet3D", "--shape", "None", "--data_root", data_root,
+        "--batch_size", "4", "--workers", "0", "--input_dim", "64",
+        "--img_feature_dim", "64", "--output_dir", out_dir,
+    ])
+    log = open(os.path.join(out_dir, "testing_log.txt")).read()
+    assert "Average for all categories" in log
+    assert "Average for all Samples" in log
+    # per-category predictions dumped
+    names = os.listdir(out_dir)
+    assert any(n.startswith("predictions_") and n.endswith(".npy") for n in names)
+    assert 0.0 <= result.mean_acc <= 100.0
+    assert result.sample_med >= 0.0

@@ -1,0 +1,45 @@
+"""Pallas kernel A/B tests (interpret mode on CPU) vs XLA reference paths."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.models import ShapeEncoderPC
+from pose3d_tpu.ops.pointnet_fused import (
+    fold_pointnet_params,
+    fused_pointnet_eval,
+    pallas_pointnet_interpret,
+    _xla_pointnet_eval,
+)
+
+
+def _folded(rng, feature_dim=256):
+    model = ShapeEncoderPC(feature_dim=feature_dim)
+    pts = jnp.asarray(rng.random((2, 100, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), pts, train=False)
+    # make BN stats non-trivial so the fold is actually exercised
+    bs = jax.tree.map(lambda x: x + 0.1 * jnp.arange(x.size, dtype=x.dtype).reshape(x.shape) / x.size,
+                      variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+    folded = fold_pointnet_params(variables["params"]["ShapeEncoderPC_0"]
+                                  if "ShapeEncoderPC_0" in variables["params"]
+                                  else variables["params"],
+                                  bs["ShapeEncoderPC_0"] if "ShapeEncoderPC_0" in bs else bs)
+    return model, variables, folded
+
+
+def test_folded_params_match_model_eval(rng):
+    model, variables, folded = _folded(rng)
+    pts = jnp.asarray(rng.random((3, 200, 3)).astype(np.float32))
+    ref = model.apply(variables, pts, train=False)
+    fused = fused_pointnet_eval(pts, folded, use_pallas=False)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_pointnet_matches_xla(rng):
+    _, _, folded = _folded(rng)
+    # P deliberately NOT a multiple of the 512 block to exercise padding
+    pts = jnp.asarray(rng.random((3, 700, 3)).astype(np.float32))
+    ref = _xla_pointnet_eval(pts, *[x for pair in folded for x in pair])
+    out = pallas_pointnet_interpret(pts, folded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -1,0 +1,200 @@
+"""Train-step tests: every regime runs + learns; multi-device sharded
+execution matches single-device numerics (global-batch NCE / sync-BN)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pose3d_tpu.models import (
+    BaselineEstimator,
+    PoseEstimator,
+    PoseEstimatorVanilla,
+)
+from pose3d_tpu.parallel import make_mesh, shard_batch, replicate
+from pose3d_tpu.train import create_train_state, torch_style_adam, steps
+
+IMG = 32
+PTS = 64
+
+
+def _small_student():
+    return BaselineEstimator(img_feature_dim=64)
+
+
+def _small_teacher():
+    return PoseEstimator(shape="PointCloud", img_feature_dim=64, shape_feature_dim=64)
+
+
+def _small_vanilla():
+    return PoseEstimatorVanilla(shape="PointCloud", img_feature_dim=64,
+                                shape_feature_dim=32)
+
+
+def _batch(rng, n=8, with_views=False, with_shape=True):
+    batch = {
+        "im": jnp.asarray(rng.standard_normal((n, IMG, IMG, 3)).astype(np.float32)),
+        "label": jnp.asarray(
+            np.stack([rng.integers(0, 360, n), rng.integers(0, 180, n),
+                      rng.integers(0, 360, n)], 1).astype(np.int32)),
+    }
+    if with_shape:
+        batch["shape"] = jnp.asarray(rng.random((n, PTS, 3)).astype(np.float32))
+    if with_views:
+        batch["im_flip"] = jnp.asarray(rng.standard_normal((n, IMG, IMG, 3)).astype(np.float32))
+        batch["im_rot"] = jnp.asarray(rng.standard_normal((n, IMG, IMG, 3)).astype(np.float32))
+        batch["label_flip"] = batch["label"]
+        batch["label_rot"] = batch["label"]
+    return batch
+
+
+def test_teacher_train_step_runs_and_updates(rng):
+    model = _small_teacher()
+    tx = torch_style_adam(1e-4)
+    state = create_train_state(model, (jnp.zeros((1, IMG, IMG, 3)), jnp.zeros((1, PTS, 3))),
+                               jax.random.key(0), tx)
+    step = jax.jit(steps.make_teacher_train_step(model))
+    batch = _batch(rng)
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["nce_loss"]) > 0
+    assert int(new_state.step) == 1
+    # params changed
+    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params)
+    assert max(jax.tree.leaves(diff)) > 0
+
+
+def test_kd_crd_step_runs(rng):
+    student = _small_student()
+    teacher = _small_teacher()
+    tx = torch_style_adam(1e-4)
+    s_state = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                                 jax.random.key(0), tx)
+    t_vars = teacher.init(jax.random.key(1), jnp.zeros((1, IMG, IMG, 3)),
+                          jnp.zeros((1, PTS, 3)), train=False)
+    step = jax.jit(steps.make_kd_crd_step(student, teacher))
+    batch = _batch(rng, with_views=True)
+    new_state, metrics = step(s_state, t_vars, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["acc_rot"]) <= 100.0
+
+
+def test_kd_crd_teacher_is_frozen(rng):
+    """Teacher variables are inputs only — they cannot change."""
+    student = _small_student()
+    teacher = _small_teacher()
+    s_state = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                                 jax.random.key(0), torch_style_adam(1e-3))
+    t_vars = teacher.init(jax.random.key(1), jnp.zeros((1, IMG, IMG, 3)),
+                          jnp.zeros((1, PTS, 3)), train=False)
+    before = jax.tree.map(lambda x: x.copy(), t_vars)
+    step = jax.jit(steps.make_kd_crd_step(student, teacher))
+    step(s_state, t_vars, _batch(rng, with_views=True))
+    for a, b in zip(jax.tree.leaves(before), jax.tree.leaves(t_vars)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_stage1_step_updates_both(rng):
+    teacher = _small_vanilla()
+    student = _small_student()
+    t_state = create_train_state(teacher, (jnp.zeros((1, IMG, IMG, 3)),
+                                           jnp.zeros((1, PTS, 3))),
+                                 jax.random.key(0), torch_style_adam(1e-4))
+    s_state = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                                 jax.random.key(1), torch_style_adam(1e-4))
+    step = jax.jit(steps.make_stage1_step(teacher, student))
+    batch = _batch(rng)
+    new_t, new_s, metrics = step(t_state, s_state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    t_diff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), t_state.params, new_t.params)))
+    s_diff = max(jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), s_state.params, new_s.params)))
+    assert t_diff > 0 and s_diff > 0
+
+
+def test_stage2_step_runs(rng):
+    student = _small_student()
+    teacher = _small_vanilla()
+    s_state = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                                 jax.random.key(0), torch_style_adam(1e-4))
+    t_vars = teacher.init(jax.random.key(1), jnp.zeros((1, IMG, IMG, 3)),
+                          jnp.zeros((1, PTS, 3)), train=False)
+    step = jax.jit(steps.make_stage2_step(student, teacher))
+    _, metrics = step(s_state, t_vars, _batch(rng, with_views=True))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_eval_step_student(rng):
+    student = _small_student()
+    v = student.init(jax.random.key(0), jnp.zeros((1, IMG, IMG, 3)), train=False)
+    estep = jax.jit(steps.make_eval_step(student, "student"))
+    batch = _batch(rng, with_shape=False)
+    m = estep(v, batch)
+    assert m["pred"].shape == (8, 3)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_vanilla_step_overfits_one_batch(rng):
+    """End-to-end learning signal: loss on a fixed batch must drop clearly."""
+    student = _small_student()
+    state = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                               jax.random.key(0), torch_style_adam(1e-3, weight_decay=0.0))
+    step = jax.jit(steps.make_vanilla_train_step(student, has_shape=False))
+    batch = _batch(rng, n=4, with_shape=False)
+    losses = []
+    for _ in range(25):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
+
+
+def test_multidevice_kd_step_matches_single_device(rng):
+    """jit + GSPMD over 8 virtual devices must reproduce single-device
+    numerics (psum grads + global-batch KL/NCE + sync-BN are all implicit)."""
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual CPU devices"
+    import optax
+
+    student = _small_student()
+    teacher = _small_teacher()
+    # SGD: the param delta is linear in the gradient, so reduction-order fp
+    # noise stays tiny (Adam's first step is sign-like and amplifies it to 2*lr)
+    s_state = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                                 jax.random.key(0), optax.sgd(0.1))
+    t_vars = teacher.init(jax.random.key(1), jnp.zeros((1, IMG, IMG, 3)),
+                          jnp.zeros((1, PTS, 3)), train=False)
+    batch = _batch(rng, n=8, with_views=True)
+    step = jax.jit(steps.make_kd_crd_step(student, teacher))
+
+    ref_state, ref_metrics = step(s_state, t_vars, batch)
+
+    mesh = make_mesh(jax.devices()[:8])
+    sharded_batch = shard_batch(batch, mesh)
+    repl_state = replicate(s_state, mesh)
+    repl_tvars = replicate(t_vars, mesh)
+    out_state, out_metrics = step(repl_state, repl_tvars, sharded_batch)
+
+    assert float(ref_metrics["loss"]) == pytest.approx(float(out_metrics["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(ref_state.params), jax.tree.leaves(out_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_multidevice_nce_sees_global_batch(rng):
+    """The in-batch NCE Gram matrix must span the GLOBAL batch when sharded:
+    computing on each shard separately gives a different loss."""
+    from pose3d_tpu.losses import info_nce_kd
+
+    mesh = make_mesh(jax.devices()[:8])
+    s = jnp.asarray(rng.standard_normal((16, 32)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((16, 32)).astype(np.float32))
+
+    f = jax.jit(lambda a, b: info_nce_kd(a, b, 0.5))
+    global_loss = float(f(s, t))
+
+    sharded = shard_batch({"s": s, "t": t}, mesh)
+    sharded_loss = float(f(sharded["s"], sharded["t"]))
+    assert sharded_loss == pytest.approx(global_loss, rel=1e-5)
+
+    # per-shard NCE would differ: verify the premise to make the test meaningful
+    per_shard = np.mean([float(f(s[i::8], t[i::8])) for i in range(8)])
+    assert abs(per_shard - global_loss) > 1e-3
