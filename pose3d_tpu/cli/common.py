@@ -150,6 +150,14 @@ def make_dp_mesh(opt):
     devices = jax.devices()
     if opt.n_devices is not None:
         devices = devices[: opt.n_devices]
-    if len(devices) <= 1:
+    # the per-host batch must divide evenly across the data axis; shrink to
+    # the largest divisor of batch_size rather than erroring
+    n = len(devices)
+    while n > 1 and opt.batch_size % n != 0:
+        n -= 1
+    if n != len(devices):
+        print(f"data-parallel mesh shrunk to {n} devices "
+              f"(batch_size {opt.batch_size} not divisible by {len(devices)})")
+    if n <= 1:
         return None
-    return make_mesh(devices)
+    return make_mesh(devices[:n])

@@ -1,7 +1,9 @@
 from pose3d_tpu.losses.binned import (
     cross_entropy_bin_loss,
     delta_loss,
+    label_smoothing_loss,
     pose_loss,
+    smooth_cross_entropy_bin_loss,
     smooth_l1,
 )
 from pose3d_tpu.losses.nce import (
@@ -23,7 +25,9 @@ from pose3d_tpu.losses.kd import (
 __all__ = [
     "cross_entropy_bin_loss",
     "delta_loss",
+    "label_smoothing_loss",
     "pose_loss",
+    "smooth_cross_entropy_bin_loss",
     "smooth_l1",
     "info_nce",
     "info_nce_kd",

@@ -66,6 +66,32 @@ def delta_loss(
     return smooth_l1(5.0 * pred_delta, 5.0 * target_delta)
 
 
+def label_smoothing_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, smoothing: float = 0.0
+) -> jnp.ndarray:
+    """LabelSmoothingLoss parity (auxiliary/model_utils.py:70-85): smoothed
+    one-hot target with confidence 1-smoothing, off-target mass
+    smoothing/(C-1), mean over batch of sum(-target * log_softmax)."""
+    n_classes = logits.shape[-1]
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    off = smoothing / (n_classes - 1)
+    one_hot = jax.nn.one_hot(labels, n_classes, dtype=log_probs.dtype)
+    target = one_hot * (1.0 - smoothing - off) + off
+    return jnp.mean(jnp.sum(-target * log_probs, axis=-1))
+
+
+def smooth_cross_entropy_bin_loss(
+    logits: jnp.ndarray, target_deg: jnp.ndarray, angle_range: int,
+    smoothing: float = 0.0,
+) -> jnp.ndarray:
+    """SmoothCELoss parity (auxiliary/model_utils.py:88-98): bin the target
+    angle then apply the label-smoothing CE."""
+    n_classes = logits.shape[-1]
+    bin_size = angle_range // n_classes
+    labels = (target_deg.astype(jnp.int32) // bin_size).astype(jnp.int32)
+    return label_smoothing_loss(logits, labels, smoothing)
+
+
 def pose_loss(
     outputs: list[jnp.ndarray],
     target_deg: jnp.ndarray,

@@ -71,6 +71,22 @@ def test_pose_loss_is_sum_of_terms(rng):
     assert total == pytest.approx(parts, rel=1e-5)
 
 
+def test_label_smoothing_loss_matches_torch(rng):
+    logits = rng.standard_normal((32, 24)).astype(np.float32)
+    target = rng.integers(0, 360, 32).astype(np.int64)
+    for smoothing in (0.0, 0.1):
+        ours = float(losses.smooth_cross_entropy_bin_loss(
+            jnp.asarray(logits), jnp.asarray(target), 360, smoothing))
+        # torch oracle (model_utils.py:70-98)
+        lp = torch.log_softmax(torch.from_numpy(logits), dim=-1)
+        lbl = torch.from_numpy(target // 15)
+        true_dist = torch.zeros_like(lp)
+        true_dist.fill_(smoothing / (24 - 1))
+        true_dist.scatter_(1, lbl.unsqueeze(1), 1.0 - smoothing)
+        oracle = torch.mean(torch.sum(-true_dist * lp, dim=-1)).item()
+        assert ours == pytest.approx(oracle, rel=1e-4)
+
+
 # --------------------------- NCE family ------------------------------------
 
 
