@@ -34,6 +34,8 @@ def parse_args(argv=None):
     parser.add_argument("--result_dir", type=str, default="result")
     parser.add_argument("--resume", action="store_true",
                         help="auto-resume from the latest checkpoint")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of early steps here")
     opt = parser.parse_args(argv)
     common.normalize_shape(opt)
     return opt
@@ -95,6 +97,7 @@ def main(argv=None):
                                  dataset_eval.category_names, result_path,
                                  bin_size=opt.bin_size, mesh=mesh,
                                  print_freq=opt.print_freq)
+    trainer.profile_dir = opt.profile_dir
     start_epoch = 0
     if opt.resume:
         latest = trainer.ckpt.latest_epoch()

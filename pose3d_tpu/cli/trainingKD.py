@@ -50,6 +50,8 @@ def parse_args(argv=None):
                         help="student VGG feature dim (reference hard-codes 2048, "
                              "trainingKD.py:211)")
     parser.add_argument("--result_dir", type=str, default="result")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of early steps here")
     # the reference hard-codes the teacher at 1024/1024 (trainingKD.py:213-216)
     parser.set_defaults(img_feature_dim=1024, shape_feature_dim=1024)
     opt = parser.parse_args(argv)
@@ -119,6 +121,7 @@ def main(argv=None):
                             eval_loader, dataset_eval.category_names, result_path,
                             bin_size=opt.bin_size, temperature=opt.temperature,
                             tau=opt.tau, mesh=mesh, teacher_state=teacher_state)
+        trainer.profile_dir = opt.profile_dir
         n = opt.n_epoch or EPOCHS["stage1"]
         best = trainer.fit_stage1(n)
     else:
@@ -143,6 +146,7 @@ def main(argv=None):
                             train_loader, eval_loader, dataset_eval.category_names,
                             result_path, bin_size=opt.bin_size,
                             temperature=opt.temperature, tau=opt.tau, mesh=mesh)
+        trainer.profile_dir = opt.profile_dir
         if opt.stage == 2:
             n = opt.n_epoch or EPOCHS["stage2"]
             best = trainer.fit_stage2(n)

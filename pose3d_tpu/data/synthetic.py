@@ -88,6 +88,89 @@ def make_objectnet3d_fixture(
     return annotation_file
 
 
+def make_linemod_fixture(
+    root: str,
+    obj_ids: tuple[int, ...] = (1, 2),
+    n_per_obj: int = 4,
+    image_size: int = 96,
+    seed: int = 0,
+) -> str:
+    """LineMod-style annotation (obj_id, x/y/w/h bbox) + images."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
+    rows = []
+    for obj in obj_ids:
+        for i in range(n_per_obj):
+            name = f"obj{obj}_{i}.jpg"
+            img = (rng.random((image_size, image_size, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(root, "imgs", name))
+            w = int(rng.integers(image_size // 2, image_size - 4))
+            h = int(rng.integers(image_size // 2, image_size - 4))
+            rows.append(
+                dict(
+                    obj_id=obj,
+                    image_path=os.path.join("imgs", name),
+                    x=int(rng.integers(0, image_size - w)),
+                    y=int(rng.integers(0, image_size - h)),
+                    w=w,
+                    h=h,
+                    azimuth=float(rng.integers(0, 360)),
+                    elevation=float(rng.integers(-89, 89)),
+                    inplane_rotation=float(rng.integers(-179, 179)),
+                )
+            )
+    frame = pd.DataFrame(rows)
+    annotation_file = "LineMod.txt"
+    frame.to_csv(os.path.join(root, annotation_file), index=False)
+    return annotation_file
+
+
+def make_shapenet_fixture(
+    root: str,
+    bg_root: str,
+    cat_ids: tuple[int, ...] = (2818832,),
+    n_examples: int = 2,
+    n_views: int = 3,
+    image_size: int = 96,
+    seed: int = 0,
+) -> str:
+    """ShapeNet-style synthetic renders (RGBA) + SUN background list."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "renders"), exist_ok=True)
+    os.makedirs(os.path.join(bg_root, "bg"), exist_ok=True)
+
+    # backgrounds + SUN list csv (index column + path column, read via iloc[:, 1])
+    bg_rows = []
+    for i in range(3):
+        name = os.path.join("bg", f"bg_{i}.jpg")
+        img = (rng.random((image_size, image_size, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(bg_root, name))
+        bg_rows.append(dict(idx=i, path=name))
+    pd.DataFrame(bg_rows).to_csv(os.path.join(bg_root, "SUN_database.txt"), index=False)
+
+    rows = []
+    for cat in cat_ids:
+        for ex in range(n_examples):
+            example_id = f"ex{ex}"
+            for v in range(n_views):
+                name = os.path.join("renders", f"{cat}_{example_id}_{v}.png")
+                img = (rng.random((image_size, image_size, 4)) * 255).astype(np.uint8)
+                Image.fromarray(img, "RGBA").save(os.path.join(root, name))
+                rows.append(
+                    dict(
+                        cat_id=cat,
+                        example_id=example_id,
+                        image_path=name,
+                        azimuth=float(rng.integers(0, 360)),
+                        elevation=float(rng.integers(-89, 89)),
+                    )
+                )
+    frame = pd.DataFrame(rows)
+    annotation_file = "ShapeNetCore.txt"
+    frame.to_csv(os.path.join(root, annotation_file), index=False)
+    return annotation_file
+
+
 def make_pix3d_fixture(
     root: str,
     categories: tuple[str, ...] = ("bed", "chair"),

@@ -14,6 +14,12 @@ from pose3d_tpu.losses.nce import (
     single_info_nce_kd,
     multi_pose_nce_kd,
 )
+from pose3d_tpu.losses.memory_bank import (
+    MemoryBank,
+    init_memory_bank,
+    enqueue,
+    info_nce_memory,
+)
 from pose3d_tpu.losses.kd import (
     temperature_scaled_kl,
     gaussian_vid_loss,
@@ -35,6 +41,10 @@ __all__ = [
     "pose_nce_kd",
     "single_info_nce_kd",
     "multi_pose_nce_kd",
+    "MemoryBank",
+    "init_memory_bank",
+    "enqueue",
+    "info_nce_memory",
     "temperature_scaled_kl",
     "gaussian_vid_loss",
     "kd_loss",

@@ -66,6 +66,22 @@ def delta_loss(
     return smooth_l1(5.0 * pred_delta, 5.0 * target_delta)
 
 
+def neg_dot_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    """negDotLoss parity (auxiliary/model_utils.py:145-155): mean(-<gt, pred>)
+    over per-sample 2-vectors (trig-encoding variant, kept for API parity)."""
+    return jnp.mean(-jnp.sum(gt.astype(jnp.float32) * pred.astype(jnp.float32),
+                             axis=-1))
+
+
+def classification_accuracy(outputs: list[jnp.ndarray], targets: jnp.ndarray) -> list:
+    """Per-angle top-1 bin accuracy in percent (auxiliary/utils.py:108-115)."""
+    accs = []
+    for n, logits in enumerate(outputs):
+        pred = jnp.argmax(logits, axis=-1)
+        accs.append(100.0 * jnp.mean((pred == targets[:, n]).astype(jnp.float32)))
+    return accs
+
+
 def label_smoothing_loss(
     logits: jnp.ndarray, labels: jnp.ndarray, smoothing: float = 0.0
 ) -> jnp.ndarray:

@@ -1,0 +1,78 @@
+"""Optional contrast memory bank (extension — NOT in the reference).
+
+Honest provenance note (SURVEY.md §5): the reference's `--crd` flag does NOT
+implement a CRD ContrastMemory bank — all NCE negatives come from the current
+batch (model_utils.py:273-285). The parity path in this framework is the
+in-batch NCE (pose3d_tpu.losses.nce, global batch under GSPMD). This module
+adds the natural extension: a MoCo-style FIFO queue of teacher features that
+enlarges the negative pool beyond the batch, as a purely functional state
+(jit/donate friendly, replicated across the data mesh — the enqueue uses the
+all-gathered global batch so every replica holds the same queue).
+
+Usage:
+    bank = init_memory_bank(size=4096, dim=200)
+    loss = info_nce_memory(student_feat, teacher_feat, bank, tau)
+    bank = enqueue(bank, teacher_feat)   # after the step (stop-gradient side)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.losses.nce import _l2_normalize, _weighted_nce
+
+
+class MemoryBank(NamedTuple):
+    queue: jnp.ndarray  # (K, D), L2-normalized entries
+    ptr: jnp.ndarray  # () int32, next write position
+    filled: jnp.ndarray  # () int32, number of valid entries
+
+
+def init_memory_bank(size: int, dim: int, dtype=jnp.float32) -> MemoryBank:
+    return MemoryBank(
+        queue=jnp.zeros((size, dim), dtype),
+        ptr=jnp.zeros((), jnp.int32),
+        filled=jnp.zeros((), jnp.int32),
+    )
+
+
+def enqueue(bank: MemoryBank, features: jnp.ndarray) -> MemoryBank:
+    """FIFO insert of a (normalized) feature batch. Static batch size; uses
+    dynamic_update_slice twice to handle wraparound without data-dependent
+    shapes (jit-safe)."""
+    feats = _l2_normalize(jax.lax.stop_gradient(features.astype(bank.queue.dtype)))
+    k = bank.queue.shape[0]
+    b = feats.shape[0]
+    # write at ptr, wrapping: split into [ptr, min(ptr+b, k)) and the wrapped head
+    idx = (bank.ptr + jnp.arange(b, dtype=jnp.int32)) % k
+    queue = bank.queue.at[idx].set(feats)
+    return MemoryBank(
+        queue=queue,
+        ptr=(bank.ptr + b) % k,
+        filled=jnp.minimum(bank.filled + b, k),
+    )
+
+
+def info_nce_memory(
+    feat_student: jnp.ndarray,
+    feat_teacher: jnp.ndarray,
+    bank: MemoryBank,
+    tau: float = 0.1,
+) -> jnp.ndarray:
+    """infoNCE_KD semantics with the negative pool extended by the queue:
+    denom_i = exp(pos_i) + sum_j exp(<s_i, t_j>/tau) + sum_q exp(<s_i, q>/tau)
+    (unfilled queue slots are masked out)."""
+    s = _l2_normalize(feat_student)
+    t = _l2_normalize(feat_teacher)
+    pos = jnp.sum(s * t, axis=-1) / tau
+    neg_batch = (s @ t.T) / tau
+    neg_queue = (s @ bank.queue.T) / tau
+    k = bank.queue.shape[0]
+    valid = (jnp.arange(k) < bank.filled)[None, :]
+    # mask invalid queue entries to -inf so their exp contribution is 0
+    neg_queue = jnp.where(valid, neg_queue, -jnp.inf)
+    neg = jnp.concatenate([neg_batch, neg_queue], axis=-1)
+    return _weighted_nce(pos, neg, None)

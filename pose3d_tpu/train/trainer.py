@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pose3d_tpu.data.loader import Prefetcher
 from pose3d_tpu.parallel import make_mesh, shard_batch, replicate
 from pose3d_tpu.train import steps as steps_lib
 from pose3d_tpu.train.ckpt import Checkpointer
@@ -44,13 +45,37 @@ def _strip(batch: dict, keys) -> dict:
 
 
 class _Base:
-    def __init__(self, result_path: str, mesh=None, logname: str = "training_log.txt"):
+    def __init__(self, result_path: str, mesh=None, logname: str = "training_log.txt",
+                 profile_dir: str | None = None):
         self.result_path = result_path
         os.makedirs(result_path, exist_ok=True)
         self.mesh = mesh
         self.log = TxtLogger(os.path.join(result_path, logname))
         self.metrics = MetricsWriter(os.path.join(result_path, "metrics.jsonl"))
         self.ckpt = Checkpointer(os.path.join(result_path, "ckpt"))
+        # profiling aux-subsystem (SURVEY.md §5 'Tracing / profiling'):
+        # captures a jax.profiler trace of steps [5, 15) of the first epoch
+        self.profile_dir = profile_dir
+        self._profiled = False
+
+    def _prefetch(self, loader, keys):
+        """Overlap host batch prep + H2D transfer with device compute."""
+        def place(b):
+            return _device_batch(_strip(b, keys), self.mesh), b["valid"]
+
+        return Prefetcher(loader, place, depth=2)
+
+    def _maybe_profile(self, step_idx: int) -> None:
+        if self.profile_dir is None or self._profiled:
+            return
+        import jax.profiler
+
+        if step_idx == 5:
+            jax.profiler.start_trace(self.profile_dir)
+        elif step_idx == 15:
+            jax.profiler.stop_trace()
+            self._profiled = True
+            print(f"profiler trace written to {self.profile_dir}")
 
     def _eval(self, eval_step, variables, eval_loader, category_names) -> CategoryEvalResult:
         def batches():
@@ -90,11 +115,12 @@ class TeacherTrainer(_Base):
             data_time = AverageValueMeter()
             batch_time = AverageValueMeter()
             end = time.time()
-            for i, batch in enumerate(self.train_loader):
-                db = _device_batch(_strip(batch, batch_keys), self.mesh)
+            for i, (db, valid) in enumerate(self._prefetch(self.train_loader,
+                                                           batch_keys)):
                 data_time.update(time.time() - end)
+                self._maybe_profile(i)
                 self.state, metrics = self.train_step(self.state, db)
-                n = int(batch["valid"].sum())
+                n = int(valid.sum())
                 train_loss.update(float(metrics["loss"]), n)
                 train_acc.update(float(metrics["acc_rot"]), n)
                 batch_time.update(time.time() - end)
@@ -173,10 +199,11 @@ class SupervisedTrainer(_Base):
             self.train_loader.set_epoch(epoch)
             loss_m, acc_m = AverageValueMeter(), AverageValueMeter()
             t0 = time.time()
-            for i, batch in enumerate(self.train_loader):
-                db = _device_batch(_strip(batch, self.batch_keys), self.mesh)
+            for i, (db, valid) in enumerate(self._prefetch(self.train_loader,
+                                                           self.batch_keys)):
+                self._maybe_profile(i)
                 self.state, metrics = self.train_step(self.state, db)
-                n = int(batch["valid"].sum())
+                n = int(valid.sum())
                 loss_m.update(float(metrics["loss"]), n)
                 acc_m.update(float(metrics["acc_rot"]), n)
                 if (i + 1) % self.print_freq == 0:
@@ -261,11 +288,11 @@ class KDTrainer(_Base):
             self.train_loader.set_epoch(epoch)
             loss_m, acc_m = AverageValueMeter(), AverageValueMeter()
             t0 = time.time()
-            for batch in self.train_loader:
-                db = _device_batch(_strip(batch, keys), self.mesh)
+            for i, (db, valid) in enumerate(self._prefetch(self.train_loader, keys)):
+                self._maybe_profile(i)
                 self.student_state, metrics = step(self.student_state,
                                                    self.teacher_vars, db)
-                n = int(batch["valid"].sum())
+                n = int(valid.sum())
                 loss_m.update(float(metrics["loss"]), n)
                 acc_m.update(float(metrics["acc_rot"]), n)
 
@@ -303,11 +330,11 @@ class KDTrainer(_Base):
         for epoch in range(start_epoch, epochs):
             self.train_loader.set_epoch(epoch)
             loss_m, acc_m = AverageValueMeter(), AverageValueMeter()
-            for batch in self.train_loader:
-                db = _device_batch(_strip(batch, keys), self.mesh)
+            for i, (db, valid) in enumerate(self._prefetch(self.train_loader, keys)):
+                self._maybe_profile(i)
                 self.teacher_state, self.student_state, metrics = step(
                     self.teacher_state, self.student_state, db)
-                n = int(batch["valid"].sum())
+                n = int(valid.sum())
                 loss_m.update(float(metrics["loss"]), n)
                 acc_m.update(float(metrics["acc_rot"]), n)
 

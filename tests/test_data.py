@@ -212,6 +212,31 @@ def test_loader_host_sharding(fixture_root):
     assert n0 + n1 == len(ds)
 
 
+def test_linemod_dataset(tmp_path):
+    root = str(tmp_path)
+    synthetic.make_linemod_fixture(root)
+    ds = datasets.Linemod(root, "LineMod.txt", cat_choice=[1], shape=None,
+                          input_dim=32)
+    assert len(ds) == 4
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["im"].shape == (32, 32, 3)
+    lab = s["label"]
+    # LineMod label units: ele+90, inp=(-inp+180)%360 (dataset.py:735-737)
+    assert 0 <= lab[1] < 180 and 0 <= lab[2] < 360
+
+
+def test_shapenet_dataset(tmp_path):
+    root = str(tmp_path / "shapenet")
+    bg_root = str(tmp_path / "sun")
+    synthetic.make_shapenet_fixture(root, bg_root, image_size=240)
+    ds = datasets.ShapeNet(root, "ShapeNetCore.txt", bg_dir=bg_root,
+                           shape=None, train=True)
+    assert len(ds) == 6
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["im"].shape == (224, 224, 3)
+    assert s["label"].shape == (3,)
+
+
 def test_pix3d_contrast_pose_batch(tmp_path):
     root = str(tmp_path)
     synthetic.make_pix3d_fixture(root, n_per_cat=8)

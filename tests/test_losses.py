@@ -204,6 +204,51 @@ def test_single_info_nce_kd(rng):
     assert ours == pytest.approx(oracle, rel=1e-4)
 
 
+# --------------------------- memory bank extension --------------------------
+
+
+def test_memory_bank_empty_equals_in_batch(rng):
+    """With an empty queue, info_nce_memory reduces exactly to infoNCE_KD
+    (no dropout)."""
+    from pose3d_tpu.losses.memory_bank import init_memory_bank, info_nce_memory
+
+    s = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+    bank = init_memory_bank(128, 64)
+    a = float(info_nce_memory(s, t, bank, 0.5))
+    b = float(losses.info_nce_kd(s, t, 0.5, dropout_rng=None))
+    assert a == pytest.approx(b, rel=1e-5)
+
+
+def test_memory_bank_enqueue_wraparound(rng):
+    from pose3d_tpu.losses.memory_bank import init_memory_bank, enqueue, info_nce_memory
+
+    bank = init_memory_bank(8, 16)
+    f1 = jnp.asarray(rng.standard_normal((6, 16)).astype(np.float32))
+    bank = enqueue(bank, f1)
+    assert int(bank.filled) == 6 and int(bank.ptr) == 6
+    f2 = jnp.asarray(rng.standard_normal((6, 16)).astype(np.float32))
+    bank = enqueue(bank, f2)
+    assert int(bank.filled) == 8 and int(bank.ptr) == 4
+    # queue entries are normalized
+    norms = np.linalg.norm(np.asarray(bank.queue), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-5)
+    # a filled bank increases the denominator -> loss goes up vs empty bank
+    s = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((4, 16)).astype(np.float32))
+    empty = init_memory_bank(8, 16)
+    assert float(info_nce_memory(s, t, bank, 0.5)) > float(info_nce_memory(s, t, empty, 0.5))
+
+
+def test_memory_bank_enqueue_is_jittable(rng):
+    from pose3d_tpu.losses.memory_bank import init_memory_bank, enqueue
+
+    bank = init_memory_bank(8, 16)
+    f = jnp.asarray(rng.standard_normal((3, 16)).astype(np.float32))
+    bank2 = jax.jit(enqueue)(bank, f)
+    assert int(bank2.ptr) == 3
+
+
 # --------------------------- KD losses --------------------------------------
 
 

@@ -36,6 +36,17 @@ def test_folded_params_match_model_eval(rng):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_geodesic_pallas_matches_geometry(rng):
+    from pose3d_tpu import geometry
+    from pose3d_tpu.ops.geodesic import rotation_err_pallas
+
+    preds = jnp.asarray(rng.integers(0, 360, (300, 3)).astype(np.float32))
+    gts = jnp.asarray(rng.integers(0, 360, (300, 3)).astype(np.float32))
+    ref = geometry.rotation_err(preds, gts)
+    out = rotation_err_pallas(preds, gts, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=0.05)
+
+
 def test_pallas_pointnet_matches_xla(rng):
     _, _, folded = _folded(rng)
     # P deliberately NOT a multiple of the 512 block to exercise padding
