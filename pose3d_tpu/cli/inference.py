@@ -53,7 +53,7 @@ def main(argv=None):
         return geometry.decode_predictions_inference(
             tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
 
-    vp = np.asarray(infer(variables, jnp.asarray(arr)))[0]
+    vp = np.array(infer(variables, jnp.asarray(arr)))[0]  # copy: device arrays are read-only
     # back to annotation convention (inference_imageBased.py:61-62)
     vp[1] -= 90.0
     vp[2] -= 180.0

@@ -84,6 +84,7 @@ def main(argv=None):
     dataset_train, dataset_eval = common.build_train_eval_datasets(opt)
     # eval for the student path is RGB-only regardless of teacher shape
     train_loader = DataLoader(dataset_train, opt.batch_size, shuffle=True,
+                              drop_last=len(dataset_train) > opt.batch_size,
                               num_workers=opt.workers, seed=common.MANUAL_SEED)
     eval_loader = DataLoader(dataset_eval, opt.batch_size, shuffle=False,
                              num_workers=opt.workers, seed=common.MANUAL_SEED)

@@ -56,7 +56,9 @@ def test_rotation_err_matches_torch_oracle(rng):
 def test_rotation_err_zero_for_identical():
     labels = jnp.asarray([[10.0, 100.0, 200.0], [0.0, 0.0, 0.0]])
     err = geometry.rotation_err(labels, labels)
-    np.testing.assert_allclose(np.asarray(err), 0.0, atol=1e-2)
+    # arccos near cos=1 is ill-conditioned: fp noise of 1e-7 in the trace
+    # becomes ~0.04 deg of error, so the bound is loose by necessity
+    np.testing.assert_allclose(np.asarray(err), 0.0, atol=0.1)
 
 
 def test_rotation_acc_matches_mean(rng):
