@@ -22,6 +22,16 @@ from pose3d_tpu.models import BaselineEstimator, PoseEstimator, PoseEstimatorVan
 
 MANUAL_SEED = 46  # reference fixed seed (training.py:195-198)
 
+# Persistent XLA compilation cache: first compiles of the full models cost
+# minutes through the remote-compile path; subsequent CLI invocations hit disk.
+_CACHE_DIR = os.environ.get("POSE3D_COMPILE_CACHE", "/tmp/pose3d_jax_cache")
+if _CACHE_DIR:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
 def add_common_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch_size", type=int, default=16)

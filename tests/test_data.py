@@ -212,6 +212,20 @@ def test_loader_host_sharding(fixture_root):
     assert n0 + n1 == len(ds)
 
 
+def test_multiview_train_sample(tmp_path):
+    root = str(tmp_path / "o3d")
+    synthetic.make_objectnet3d_fixture(root, categories=("bed",), n_train_per_cat=2,
+                                       n_val_per_cat=1, with_renders=True,
+                                       n_renders=144, render_size=24)
+    ds = datasets.Pascal3DContrast(
+        root, "ObjectNet3D.txt", train=True, shape="MultiView",
+        shape_dir="Renders_semi_sphere", view_num=12, tour=2, input_dim=24,
+    )
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["shape"].shape == (12, 24, 24, 3)  # (K, H, W, C) channels-last
+    assert s["im"].shape == (24, 24, 3)
+
+
 def test_linemod_dataset(tmp_path):
     root = str(tmp_path)
     synthetic.make_linemod_fixture(root)
