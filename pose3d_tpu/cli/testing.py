@@ -38,6 +38,8 @@ def parse_args(argv=None):
 
 
 def build_eval_dataset(opt):
+    if not hasattr(opt, "random_model"):  # callers sharing common flags only
+        opt.random_model = False
     root_dir = os.path.join(opt.data_root, opt.dataset)
     annotation_file = f"{opt.dataset}.txt"
     cats = common.test_cats_for(opt.dataset)

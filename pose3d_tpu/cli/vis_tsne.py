@@ -119,8 +119,9 @@ def run_tsne(features: dict[str, np.ndarray], labels: np.ndarray, opt):
         stacked = np.concatenate([features[n][keep] for n in names])
         labels = labels[keep]
 
-    if stacked.shape[1] > 50:
-        stacked = PCA(n_components=50).fit_transform(stacked)
+    n_pca = min(50, stacked.shape[0], stacked.shape[1])
+    if stacked.shape[1] > n_pca:
+        stacked = PCA(n_components=n_pca).fit_transform(stacked)
     emb = TSNE(n_components=2, perplexity=min(opt.perplexity, max(2, len(stacked) // 4)),
                init="pca", random_state=0).fit_transform(stacked)
 
