@@ -30,30 +30,58 @@ def parse_args(argv=None):
     parser.add_argument("--bin_size", type=int, default=15)
     parser.add_argument("--input_dim", type=int, default=224)
     parser.add_argument("--bf16", action="store_true")
+    # teacher-mode inference (the reference's teacher demo inference.py is
+    # broken — imports a missing module; this is the working equivalent)
+    parser.add_argument("--ply_path", type=str, default=None,
+                        help="point cloud for teacher-mode inference")
+    parser.add_argument("--shape_feature_dim", type=int, default=1024)
+    parser.add_argument("--point_num", type=int, default=2500)
     return parser.parse_args(argv)
 
 
 def main(argv=None):
     opt = parse_args(argv)
-    model = common.build_student(opt, img_feature_dim=opt.img_feature_dim)
-    variables = model.init(jax.random.key(0),
-                           jnp.zeros((1, opt.input_dim, opt.input_dim, 3)),
-                           train=False)
     from pose3d_tpu.cli.trainingKD import _load_ckpt_into
-
-    variables = _load_ckpt_into(variables, opt.ckpt)
 
     im = Image.open(opt.img_path).convert("RGB")
     im = T.resize_pad(im, opt.input_dim)
     arr = T.normalize_image(T.to_float_array(im))[None]
 
-    @jax.jit
-    def infer(v, x):
-        outputs, _ = model.apply(v, x, train=False)
-        return geometry.decode_predictions_inference(
-            tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+    if opt.ply_path:
+        opt.shape = "PointCloud"
+        opt.view_num = 12
+        model = common.build_teacher(opt, img_feature_dim=opt.img_feature_dim
+                                     if opt.img_feature_dim != 2048 else 1024)
+        from pose3d_tpu.data import ply
 
-    vp = np.array(infer(variables, jnp.asarray(arr)))[0]  # copy: device arrays are read-only
+        verts = ply.load_vertices(opt.ply_path)
+        pc = T.sample_pointcloud(verts, opt.point_num, 0,
+                                 np.random.default_rng(0))[None]
+        variables = model.init(jax.random.key(0), jnp.asarray(arr),
+                               jnp.asarray(pc), train=False)
+        variables = _load_ckpt_into(variables, opt.ckpt)
+
+        @jax.jit
+        def infer(v, x, p):
+            outputs, _, _ = model.apply(v, x, p, train=False)
+            return geometry.decode_predictions_inference(
+                tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+
+        vp = np.array(infer(variables, jnp.asarray(arr), jnp.asarray(pc)))[0]
+    else:
+        model = common.build_student(opt, img_feature_dim=opt.img_feature_dim)
+        variables = model.init(jax.random.key(0),
+                               jnp.zeros((1, opt.input_dim, opt.input_dim, 3)),
+                               train=False)
+        variables = _load_ckpt_into(variables, opt.ckpt)
+
+        @jax.jit
+        def infer(v, x):
+            outputs, _ = model.apply(v, x, train=False)
+            return geometry.decode_predictions_inference(
+                tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+
+        vp = np.array(infer(variables, jnp.asarray(arr)))[0]  # copy: device arrays are read-only
     # back to annotation convention (inference_imageBased.py:61-62)
     vp[1] -= 90.0
     vp[2] -= 180.0
