@@ -149,6 +149,25 @@ def test_vanilla_step_overfits_one_batch(rng):
     assert losses[-1] < losses[0] * 0.7, losses
 
 
+def test_jit_vs_eager_numerics(rng):
+    """SURVEY.md §5 'race detection' substitute: jit-compiled and eager
+    forward must agree (catches tracing/jit-only miscompiles)."""
+    student = _small_student()
+    v = student.init(jax.random.key(0), jnp.zeros((1, IMG, IMG, 3)), train=False)
+    x = jnp.asarray(rng.standard_normal((4, IMG, IMG, 3)).astype(np.float32))
+
+    def fwd(vv, xx):
+        outs, proj = student.apply(vv, xx, train=False)
+        return outs, proj
+
+    eager_outs, eager_proj = fwd(v, x)
+    jit_outs, jit_proj = jax.jit(fwd)(v, x)
+    for a, b in zip(eager_outs, jit_outs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(eager_proj), np.asarray(jit_proj),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_multidevice_kd_step_matches_single_device(rng):
     """jit + GSPMD over 8 virtual devices must reproduce single-device
     numerics (psum grads + global-batch KL/NCE + sync-BN are all implicit)."""
