@@ -52,6 +52,8 @@ def parse_args(argv=None):
     parser.add_argument("--result_dir", type=str, default="result")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of early steps here")
+    parser.add_argument("--resume", action="store_true",
+                        help="auto-resume the student from the latest checkpoint")
     # the reference hard-codes the teacher at 1024/1024 (trainingKD.py:213-216)
     parser.set_defaults(img_feature_dim=1024, shape_feature_dim=1024)
     opt = parser.parse_args(argv)
@@ -148,12 +150,23 @@ def main(argv=None):
                             result_path, bin_size=opt.bin_size,
                             temperature=opt.temperature, tau=opt.tau, mesh=mesh)
         trainer.profile_dir = opt.profile_dir
+        start_epoch = 0
+        if opt.resume:
+            latest = trainer.ckpt.latest_epoch()
+            if latest is not None:
+                restored = trainer.ckpt.restore("checkpoint", {
+                    "params": trainer.student_state.params,
+                    "batch_stats": trainer.student_state.batch_stats})
+                trainer.student_state = trainer.student_state.replace(
+                    params=restored["params"], batch_stats=restored["batch_stats"])
+                start_epoch = latest + 1
+                print(f"resumed student from epoch {latest}")
         if opt.stage == 2:
             n = opt.n_epoch or EPOCHS["stage2"]
-            best = trainer.fit_stage2(n)
+            best = trainer.fit_stage2(n, start_epoch=start_epoch)
         else:
             n = opt.n_epoch or EPOCHS["crd"]
-            best = trainer.fit_crd(n)
+            best = trainer.fit_crd(n, start_epoch=start_epoch)
 
     print(f"best val acc: {best:.2f}")
 
