@@ -21,8 +21,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.device_count() == 8, jax.devices()
 
+import subprocess  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# build the native PLY reader if the toolchain is available (tests fall back
+# to the numpy parser when it isn't)
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if not os.path.exists(os.path.join(_repo, "native", "libply_reader.so")):
+    subprocess.run(["make", "-C", os.path.join(_repo, "native")],
+                   capture_output=True, check=False)
 
 
 @pytest.fixture
