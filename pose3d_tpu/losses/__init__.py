@@ -3,6 +3,7 @@ from pose3d_tpu.losses.binned import (
     delta_loss,
     label_smoothing_loss,
     pose_loss,
+    pose_loss_per_sample,
     smooth_cross_entropy_bin_loss,
     smooth_l1,
 )
@@ -33,6 +34,7 @@ __all__ = [
     "delta_loss",
     "label_smoothing_loss",
     "pose_loss",
+    "pose_loss_per_sample",
     "smooth_cross_entropy_bin_loss",
     "smooth_l1",
     "info_nce",

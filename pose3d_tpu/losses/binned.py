@@ -121,3 +121,32 @@ def pose_loss(
     loss_inp = cross_entropy_bin_loss(outputs[2], target_deg[:, 2], 360)
     loss_reg = delta_loss(outputs[3], outputs[4], outputs[5], target_deg, bin_size)
     return loss_azi + loss_ele + loss_inp + loss_reg
+
+
+def pose_loss_per_sample(
+    outputs: list[jnp.ndarray],
+    target_deg: jnp.ndarray,
+    bin_size: int = 15,
+) -> jnp.ndarray:
+    """Per-sample decomposition of `pose_loss` (mean over it == pose_loss):
+    used by the evaluator to mask padded tail-batch rows exactly."""
+    per = jnp.zeros(target_deg.shape[0], jnp.float32)
+    for i, angle_range in ((0, 360), (1, 180), (2, 360)):
+        logits = outputs[i]
+        n_classes = logits.shape[-1]
+        bsz = angle_range // n_classes
+        labels = (target_deg[:, i].astype(jnp.int32) // bsz).astype(jnp.int32)
+        log_probs = jax.nn.log_softmax(logits, axis=-1)
+        per = per - jnp.take_along_axis(log_probs, labels[:, None], axis=-1)[:, 0]
+
+    target = target_deg.astype(jnp.float32)
+    target_delta = (jnp.mod(target, bin_size) / bin_size) - 0.5
+    gt_bin = (target_deg.astype(jnp.int32) // bin_size).astype(jnp.int32)
+    deltas = []
+    for i, reg in enumerate(outputs[3:6]):
+        d = jnp.take_along_axis(reg, gt_bin[:, i][:, None], axis=-1)[:, 0]
+        deltas.append(jnp.tanh(d) / 2.0)
+    pred_delta = jnp.stack(deltas, axis=-1)
+    diff = jnp.abs(5.0 * pred_delta - 5.0 * target_delta)
+    huber = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5)
+    return per + jnp.mean(huber, axis=-1)

@@ -66,7 +66,11 @@ def evaluate_categories(
         all_preds.append(preds)
         all_labels.append(labels)
         all_cats.append(np.asarray(batch["cat_id"])[valid])
-        losses.append(float(metrics["loss"]) * valid.sum())
+        if "per_sample_loss" in metrics:
+            # exact masking of padded tail rows
+            losses.append(float(np.sum(np.asarray(metrics["per_sample_loss"])[valid])))
+        else:
+            losses.append(float(metrics["loss"]) * valid.sum())
         nces.append(float(metrics.get("nce_loss", 0.0)) * valid.sum())
         counts.append(valid.sum())
 

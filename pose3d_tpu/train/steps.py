@@ -41,6 +41,7 @@ from pose3d_tpu.losses import (
     kd_loss,
     kd_loss_with_features,
     pose_loss,
+    pose_loss_per_sample,
 )
 
 Batch = dict[str, jnp.ndarray]
@@ -295,10 +296,11 @@ def make_eval_step(model, kind: str, bin_size: int = 15) -> Callable:
             raise ValueError(kind)
 
         outputs = _f32(outputs)
-        loss = pose_loss(outputs, batch["label"], bin_size)
+        per_sample = pose_loss_per_sample(outputs, batch["label"], bin_size)
         preds = geometry.decode_predictions(tuple(outputs[:3]), tuple(outputs[3:]),
                                             bin_size)
-        metrics = {"pred": preds, "loss": loss}
+        metrics = {"pred": preds, "loss": jnp.mean(per_sample),
+                   "per_sample_loss": per_sample}
         if fused is not None:
             # val_new's contrastive val loss (evaluation.py:86); the reference
             # applies teacher-dropout even at val — reproduced with a fixed key

@@ -71,6 +71,17 @@ def test_pose_loss_is_sum_of_terms(rng):
     assert total == pytest.approx(parts, rel=1e-5)
 
 
+def test_pose_loss_per_sample_mean_equals_pose_loss(rng):
+    n = 32
+    outs = [jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+            for k in (24, 12, 24, 24, 12, 24)]
+    target = jnp.asarray(_rand_labels(rng, n))
+    total = float(losses.pose_loss(outs, target))
+    per = np.asarray(losses.pose_loss_per_sample(outs, target))
+    assert per.shape == (n,)
+    assert float(np.mean(per)) == pytest.approx(total, rel=1e-5)
+
+
 def test_label_smoothing_loss_matches_torch(rng):
     logits = rng.standard_normal((32, 24)).astype(np.float32)
     target = rng.integers(0, 360, 32).astype(np.int64)
