@@ -133,6 +133,9 @@ def make_shapenet_fixture(
     n_views: int = 3,
     image_size: int = 96,
     seed: int = 0,
+    with_shape_renders: bool = False,
+    n_shape_renders: int = 144,
+    shape_render_size: int = 24,
 ) -> str:
     """ShapeNet-style synthetic renders (RGBA) + SUN background list."""
     rng = np.random.default_rng(seed)
@@ -165,6 +168,17 @@ def make_shapenet_fixture(
                         elevation=float(rng.integers(-89, 89)),
                     )
                 )
+    if with_shape_renders:
+        for cat in cat_ids:
+            for ex in range(n_examples):
+                rdir = os.path.join(root, "Renders_semi_sphere", "%08d" % cat,
+                                    f"ex{ex}", "crop")
+                os.makedirs(rdir, exist_ok=True)
+                for k in range(n_shape_renders):
+                    img = (rng.random((shape_render_size, shape_render_size, 3))
+                           * 255).astype(np.uint8)
+                    Image.fromarray(img).save(os.path.join(rdir, "r_%03d.png" % k))
+
     frame = pd.DataFrame(rows)
     annotation_file = "ShapeNetCore.txt"
     frame.to_csv(os.path.join(root, annotation_file), index=False)

@@ -251,6 +251,19 @@ def test_shapenet_dataset(tmp_path):
     assert s["label"].shape == (3,)
 
 
+def test_shapenet_multiview_sample(tmp_path):
+    root = str(tmp_path / "shapenet")
+    bg_root = str(tmp_path / "sun")
+    synthetic.make_shapenet_fixture(root, bg_root, image_size=240,
+                                    with_shape_renders=True)
+    ds = datasets.ShapeNet(root, "ShapeNetCore.txt", bg_dir=bg_root,
+                           shape="MultiView", view_num=12, tour=2, train=True,
+                           random=True)
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["shape"].shape == (12, 24, 24, 3)
+    assert s["im"].shape == (224, 224, 3)
+
+
 def test_pix3d_contrast_pose_batch(tmp_path):
     root = str(tmp_path)
     synthetic.make_pix3d_fixture(root, n_per_cat=8)
