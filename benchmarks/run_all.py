@@ -1,0 +1,139 @@
+"""Benchmark matrix runner: measures every BASELINE.md workload on the local
+chip and emits one JSON line per metric (bench.py stays the single-line
+headline for the driver; this is the full matrix).
+
+Usage: python benchmarks/run_all.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("POSE3D_COMPILE_CACHE", "/tmp/pose3d_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
+
+def _sync(x):
+    jax.tree.map(lambda a: np.asarray(a) if hasattr(a, "shape") and a.size <= 16
+                 else None, x)
+    # always force at least one scalar transfer
+    leaves = [a for a in jax.tree.leaves(x) if hasattr(a, "shape")]
+    if leaves:
+        np.asarray(leaves[0].ravel()[0])
+
+
+def _time(fn, *args, steps=10):
+    out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / steps
+
+
+def emit(metric, value, unit, baseline=None):
+    rec = {"metric": metric, "value": round(value, 2), "unit": unit}
+    if baseline:
+        rec["vs_baseline"] = round(value / baseline, 3)
+    print(json.dumps(rec), flush=True)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args(argv)
+    steps = 5 if args.quick else 10
+
+    from pose3d_tpu import geometry
+    from pose3d_tpu.models import BaselineEstimator, PoseEstimator
+    from pose3d_tpu.train import create_train_state, torch_style_adam
+    from pose3d_tpu.train import steps as steps_lib
+
+    rng = np.random.default_rng(0)
+    dtype = jnp.bfloat16
+
+    # 1. student RGB inference (BASELINE config 1; target 5k img/s/chip)
+    student = BaselineEstimator(img_feature_dim=2048, dtype=dtype)
+    bi = 256
+    im = jnp.asarray(rng.standard_normal((bi, 224, 224, 3)).astype(np.float32))
+    sv = student.init(jax.random.key(0), im[:1], train=False)
+
+    @jax.jit
+    def infer(v, x):
+        outputs, _ = student.apply(v, x, train=False)
+        outputs = [o.astype(jnp.float32) for o in outputs]
+        return geometry.decode_predictions(tuple(outputs[:3]), tuple(outputs[3:]))
+
+    dt = _time(infer, sv, im, steps=steps)
+    emit("student_infer_img_per_s", bi / dt, "img/s", baseline=5000.0)
+
+    # 2. teacher eval fwd (BASELINE config 2)
+    teacher = PoseEstimator(shape="PointCloud", img_feature_dim=1024,
+                            shape_feature_dim=1024, dtype=dtype)
+    bt = 160
+    imt = jnp.asarray(rng.standard_normal((bt, 224, 224, 3)).astype(np.float32))
+    pct = jnp.asarray(rng.random((bt, 2500, 3)).astype(np.float32))
+    tv = teacher.init(jax.random.key(1), imt[:1], pct[:1], train=False)
+
+    @jax.jit
+    def teacher_fwd(v, x, p):
+        outputs, _, _ = teacher.apply(v, x, p, train=False)
+        outputs = [o.astype(jnp.float32) for o in outputs]
+        return geometry.decode_predictions(tuple(outputs[:3]), tuple(outputs[3:]))
+
+    dt = _time(teacher_fwd, tv, imt, pct, steps=steps)
+    emit("teacher_eval_img_per_s", bt / dt, "img/s")
+
+    # 3. teacher train step (BASELINE config 3: bs 160)
+    tstate = create_train_state(teacher, (imt[:1], pct[:1]), jax.random.key(2),
+                                torch_style_adam(1e-4))
+    label = jnp.asarray(np.stack([rng.integers(0, 360, bt), rng.integers(0, 180, bt),
+                                  rng.integers(0, 360, bt)], 1).astype(np.int32))
+    tstep = jax.jit(steps_lib.make_teacher_train_step(teacher))
+    batch = {"im": imt, "shape": pct, "label": label}
+
+    def run_tstep(s, b):
+        s2, m = tstep(s, b)
+        return m["loss"]
+
+    dt = _time(run_tstep, tstate, batch, steps=steps)
+    emit("teacher_train_img_per_s", bt / dt, "img/s")
+    emit("teacher_train_step_ms", dt * 1000, "ms")
+
+    # 4. KD train step (BASELINE config 4: bs 46, 3x views)
+    bk = 46
+    imk = jnp.asarray(rng.standard_normal((bk, 224, 224, 3)).astype(np.float32))
+    pck = jnp.asarray(rng.random((bk, 2500, 3)).astype(np.float32))
+    labk = label[:bk]
+    kd_batch = {"im": imk, "im_flip": imk, "im_rot": imk, "shape": pck,
+                "label": labk, "label_flip": labk, "label_rot": labk}
+    sstate = create_train_state(student, (imk[:1],), jax.random.key(3),
+                                torch_style_adam(1e-4))
+    kstep = jax.jit(steps_lib.make_kd_crd_step(student, teacher))
+
+    def run_kstep(s, tv_, b):
+        s2, m = kstep(s, tv_, b)
+        return m["loss"]
+
+    dt = _time(run_kstep, sstate, tv, kd_batch, steps=steps)
+    emit("kd_train_samples_per_s", bk / dt, "samples/s")
+    emit("kd_train_step_ms", dt * 1000, "ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,19 @@ def test_teacher_training_then_kd_then_eval(data_root, tmp_path):
     assert os.path.isdir(os.path.join(kd_dir, "ckpt", "checkpoint"))
 
 
+def test_fewshot_training_runs(data_root, tmp_path):
+    """--shot K samples K train images per class (BASELINE config 5)."""
+    from pose3d_tpu.cli import training
+
+    result_dir = str(tmp_path / "result")
+    training.main(_common_args(data_root, result_dir) +
+                  ["--n_epoch", "1", "--decrease", "1", "--shot", "2"])
+    log = open(os.path.join(os.getcwd(), result_dir, "PointCloud_ObjectNet3D",
+                            "training_log.txt")).read()
+    # 2 cats x 2 shots = 4 training samples
+    assert "training set: 4" in log
+
+
 def test_testing_cli_student(data_root, tmp_path):
     from pose3d_tpu.cli import testing
 
