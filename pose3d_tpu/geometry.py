@@ -18,6 +18,7 @@ All functions take degrees and are fully vectorized: inputs of shape (..., 3).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 DEG2RAD = jnp.pi / 180.0
@@ -126,15 +127,9 @@ def decode_predictions_inference(
         delta = jnp.take_along_axis(reg, bins[:, None], axis=-1)[:, 0]
         preds.append((bins.astype(jnp.float32) + delta) * bin_size)
         if return_scores:
-            probs = jnp.max(jax_nn_softmax(logits), axis=-1)
+            probs = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
             scores.append(probs)
     vp = jnp.clip(jnp.stack(preds, axis=-1), 0.0, 360.0)
     if return_scores:
         return vp, jnp.stack(scores, axis=-1)
     return vp
-
-
-def jax_nn_softmax(x: jnp.ndarray) -> jnp.ndarray:
-    x = x - jnp.max(x, axis=-1, keepdims=True)
-    e = jnp.exp(x)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
