@@ -114,8 +114,13 @@ def test_cats_for(dataset: str):
     }[dataset]
 
 
-def build_train_eval_datasets(opt):
-    """Dataset selection per --dataset, mirroring training.py:205-239."""
+def build_train_eval_datasets(opt, contrast_eval: bool = False):
+    """Dataset selection per --dataset, mirroring training.py:205-239.
+
+    contrast_eval=True reproduces trainingKD.py:157-160, which evaluates on
+    Pascal3DContrast (adds the has_keypoints==1 val filter) instead of
+    Pascal3D.
+    """
     root_dir = os.path.join(opt.data_root, opt.dataset)
     annotation_file = f"{opt.dataset}.txt"
     common = dict(shape=opt.shape, shape_dir=opt.shape_dir, view_num=opt.view_num,
@@ -127,9 +132,14 @@ def build_train_eval_datasets(opt):
             root_dir, annotation_file, train=True, cat_choice=cats,
             keypoint=opt.keypoint, novel=opt.novel, random_range=opt.random_range,
             shot=opt.shot, seed=MANUAL_SEED, **common)
-        dataset_eval = datasets.Pascal3D(
-            root_dir, annotation_file, train=False, cat_choice=cats,
-            keypoint=opt.keypoint, novel=opt.novel, random=False, **common)
+        if contrast_eval:
+            dataset_eval = datasets.Pascal3DContrast(
+                root_dir, annotation_file, train=False, cat_choice=cats,
+                keypoint=opt.keypoint, novel=opt.novel, **common)
+        else:
+            dataset_eval = datasets.Pascal3D(
+                root_dir, annotation_file, train=False, cat_choice=cats,
+                keypoint=opt.keypoint, novel=opt.novel, random=False, **common)
     elif opt.dataset == "Pascal3D":
         cats = ["bus", "motorbike"] if opt.novel else None
         dataset_train = datasets.Pascal3D(

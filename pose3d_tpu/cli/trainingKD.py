@@ -83,7 +83,8 @@ def main(argv=None):
     opt = parse_args(argv)
     print(opt)
 
-    dataset_train, dataset_eval = common.build_train_eval_datasets(opt)
+    dataset_train, dataset_eval = common.build_train_eval_datasets(
+        opt, contrast_eval=True)
     # eval for the student path is RGB-only regardless of teacher shape
     train_loader = DataLoader(dataset_train, opt.batch_size, shuffle=True,
                               drop_last=len(dataset_train) > opt.batch_size,

@@ -16,7 +16,6 @@ Design:
 from __future__ import annotations
 
 import concurrent.futures as cf
-import threading
 from typing import Any, Iterator
 
 import numpy as np
@@ -147,7 +146,6 @@ class Prefetcher:
         self._place = place_fn
         self._depth = depth
         self._buf: list = []
-        self._lock = threading.Lock()
         self._fill()
 
     def _fill(self):
