@@ -185,6 +185,43 @@ def make_shapenet_fixture(
     return annotation_file
 
 
+def make_pix3d_eval_fixture(
+    root: str,
+    cat_ids: tuple[str, ...] = ("bed", "chair"),
+    n_per_cat: int = 3,
+    image_size: int = 64,
+    seed: int = 0,
+) -> str:
+    """Plain-Pix3D-style annotation (cat_id/example_id/model_name columns,
+    boolean occlusion flags, radian inplane) for the eval-only Pix3D loader."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "imgs"), exist_ok=True)
+    rows = []
+    for cat in cat_ids:
+        for i in range(n_per_cat):
+            name = f"{cat}_{i}.jpg"
+            img = (rng.random((image_size, image_size, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(root, "imgs", name))
+            rows.append(
+                dict(
+                    image_path=os.path.join("imgs", name),
+                    cat_id=cat,
+                    example_id=f"ex{i}",
+                    model_name="model",
+                    truncated=False,
+                    occluded=False,
+                    slightly_occluded=False,
+                    azimuth=float(rng.integers(0, 360)),
+                    elevation=float(rng.integers(-89, 89)),
+                    inplane_rotation=float(rng.uniform(-np.pi, np.pi)),
+                )
+            )
+    frame = pd.DataFrame(rows)
+    annotation_file = "Pix3D.txt"
+    frame.to_csv(os.path.join(root, annotation_file), index=False)
+    return annotation_file
+
+
 def make_pix3d_fixture(
     root: str,
     categories: tuple[str, ...] = ("bed", "chair"),

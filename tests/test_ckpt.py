@@ -35,6 +35,22 @@ def test_merge_partial_keeps_mismatches():
     assert len(skipped) == 2
 
 
+def test_unwrap_state_dict_fallbacks():
+    """Key fallbacks model -> state_dict -> net_vp -> student_model -> raw
+    (reference utils.py:56-68)."""
+    from pose3d_tpu.train.torch_import import unwrap_state_dict
+
+    sd = {"w": 1}
+    assert unwrap_state_dict({"model": sd}) is sd
+    assert unwrap_state_dict({"state_dict": sd}) is sd
+    assert unwrap_state_dict({"net_vp": sd}) is sd
+    assert unwrap_state_dict({"student_model": sd}) is sd
+    assert unwrap_state_dict({"teacher_model": sd}) is sd
+    assert unwrap_state_dict(sd) is sd
+    # precedence: 'model' wins over others
+    assert unwrap_state_dict({"model": sd, "state_dict": {"x": 2}}) is sd
+
+
 # --------------------------------------------------------------------------
 # torch import: build a torch reference model, save, import, compare outputs
 # --------------------------------------------------------------------------

@@ -251,6 +251,19 @@ def test_shapenet_dataset(tmp_path):
     assert s["label"].shape == (3,)
 
 
+def test_pix3d_eval_dataset(tmp_path):
+    root = str(tmp_path)
+    synthetic.make_pix3d_eval_fixture(root)
+    ds = datasets.Pix3D(root, "Pix3D.txt", shape=None, input_dim=32,
+                        cat_choice=["bed"])
+    assert len(ds) == 3
+    s = ds.get(0, np.random.default_rng(0))
+    assert s["im"].shape == (32, 32, 3)
+    lab = s["label"]
+    # unit conversion happened upstream: ele+90, inplane rad->deg+180
+    assert 0 <= lab[1] < 180 and 0 <= lab[2] <= 360
+
+
 def test_shapenet_multiview_sample(tmp_path):
     root = str(tmp_path / "shapenet")
     bg_root = str(tmp_path / "sun")
