@@ -88,6 +88,11 @@ def main(argv=None):
     log.line("training set: " + str(len(dataset_train)))
     log.line("evaluation set: " + str(len(dataset_eval)))
 
+    from pose3d_tpu.config import RunConfig
+
+    with open(os.path.join(result_path, "config.json"), "w") as f:
+        f.write(RunConfig.from_namespace(opt).to_json())
+
     if opt.shape is None:
         # supervised RGB-only baseline (train_vanilla path, training.py:92-148)
         from pose3d_tpu.train.trainer import SupervisedTrainer

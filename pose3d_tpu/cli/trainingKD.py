@@ -113,6 +113,11 @@ def main(argv=None):
     log = TxtLogger(os.path.join(result_path, "training_log.txt"))
     log.line(str(opt) + "\n")
 
+    from pose3d_tpu.config import RunConfig
+
+    with open(os.path.join(result_path, "config.json"), "w") as f:
+        f.write(RunConfig.from_namespace(opt).to_json())
+
     if opt.stage == 1:
         teacher = common.build_vanilla(opt)
         teacher_state = create_train_state(
