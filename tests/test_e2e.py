@@ -59,6 +59,24 @@ def test_teacher_training_then_kd_then_eval(data_root, tmp_path):
     assert os.path.isdir(os.path.join(kd_dir, "ckpt", "checkpoint"))
 
 
+def test_stage1_and_stage2_dispatch(data_root, tmp_path):
+    """--stage 1 (joint teacher+learner) and --stage 2 (response KD) run end
+    to end through the CLI dispatch (trainingKD.py:280-287 parity)."""
+    from pose3d_tpu.cli import trainingKD
+
+    result_dir = str(tmp_path / "result")
+    base = _common_args(data_root, result_dir) + [
+        "--student_feature_dim", "64", "--n_epoch", "1", "--decrease", "1"]
+    trainingKD.main(base + ["--stage", "1", "--tau", "0.5"])
+    kd_dir = os.path.join(os.getcwd(), result_dir, "KD_ObjectNet3D")
+    ckpt = os.path.join(kd_dir, "ckpt", "checkpoint")
+    assert os.path.isdir(ckpt)
+
+    trainingKD.main(base + ["--stage", "2"])
+    log = open(os.path.join(kd_dir, "training_log.txt")).read()
+    assert log.count("Student Epoch") >= 2
+
+
 def test_fewshot_training_runs(data_root, tmp_path):
     """--shot K samples K train images per class (BASELINE config 5)."""
     from pose3d_tpu.cli import training
