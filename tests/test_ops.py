@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from pose3d_tpu.models import ShapeEncoderPC
 from pose3d_tpu.ops.pointnet_fused import (
@@ -45,6 +46,35 @@ def test_geodesic_pallas_matches_geometry(rng):
     ref = geometry.rotation_err(preds, gts)
     out = rotation_err_pallas(preds, gts, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=0.05)
+
+
+def test_fused_nce_forward_matches_xla(rng):
+    from pose3d_tpu.losses import info_nce_kd
+    from pose3d_tpu.ops.nce_fused import fused_info_nce
+
+    s = jnp.asarray(rng.standard_normal((46, 200)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((46, 200)).astype(np.float32))
+    ref = float(info_nce_kd(s, t, 0.5, dropout_rng=None))
+    out = float(fused_info_nce(s, t, 0.5, True))
+    assert out == pytest.approx(ref, rel=1e-5)
+
+
+def test_fused_nce_gradient_matches_xla(rng):
+    from pose3d_tpu.losses import info_nce_kd
+    from pose3d_tpu.ops.nce_fused import fused_info_nce
+
+    s = jnp.asarray(rng.standard_normal((24, 64)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((24, 64)).astype(np.float32))
+    ref_ds, ref_dt = jax.grad(
+        lambda a, b: info_nce_kd(a, b, 0.5, dropout_rng=None), argnums=(0, 1)
+    )(s, t)
+    out_ds, out_dt = jax.grad(
+        lambda a, b: fused_info_nce(a, b, 0.5, True), argnums=(0, 1)
+    )(s, t)
+    np.testing.assert_allclose(np.asarray(out_ds), np.asarray(ref_ds),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_dt), np.asarray(ref_dt),
+                               rtol=1e-4, atol=1e-6)
 
 
 def test_pallas_pointnet_matches_xla(rng):
