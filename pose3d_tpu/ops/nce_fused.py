@@ -89,7 +89,14 @@ def _bwd_kernel(s_ref, t_ref, tau_ref, denom_ref, m_ref, g_ref, ds_ref, dt_ref):
     dt_ref[:] = dt.astype(dt_ref.dtype)
 
 
+def _resolve_interpret(interpret):
+    if interpret is None:
+        return jax.devices()[0].platform != "tpu"
+    return interpret
+
+
 def _fwd_call(s, t, tau, interpret):
+    interpret = _resolve_interpret(interpret)
     n = s.shape[0]
     loss, denom, m = pl.pallas_call(
         _fwd_kernel,
@@ -114,6 +121,7 @@ def _fwd_call(s, t, tau, interpret):
 
 
 def _bwd_call(s, t, tau, denom, m, g, interpret):
+    interpret = _resolve_interpret(interpret)
     n, d = s.shape
     ds, dt = pl.pallas_call(
         _bwd_kernel,
@@ -140,8 +148,9 @@ def _bwd_call(s, t, tau, denom, m, g, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def fused_info_nce(s, t, tau: float = 0.1, interpret: bool = False):
-    """Pallas-fused infoNCE-KD loss (no dropout; see module docstring)."""
+def fused_info_nce(s, t, tau: float = 0.1, interpret: bool | None = None):
+    """Pallas-fused infoNCE-KD loss (no dropout; see module docstring).
+    interpret=None auto-selects interpreter mode on non-TPU platforms."""
     loss, _, _ = _fwd_call(s, t, tau, interpret)
     return loss
 

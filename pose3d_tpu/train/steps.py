@@ -66,7 +66,22 @@ def make_teacher_train_step(
     nce_weight: float = 0.5,
     nce_tau: float = 0.1,
     nce_dropout: float = 0.3,
+    use_fused_nce: bool = False,
 ) -> Callable:
+    """use_fused_nce routes the contrastive term through the Pallas kernel
+    (ops/nce_fused.py) — identical math; dropout applied outside the kernel."""
+
+    def _nce(img_proj, fused, nce_rng):
+        if not use_fused_nce:
+            return info_nce_kd(img_proj, fused, nce_tau, dropout_rng=nce_rng,
+                               dropout_rate=nce_dropout)
+        from pose3d_tpu.ops.nce_fused import fused_info_nce
+
+        if nce_dropout > 0.0:
+            keep = jax.random.bernoulli(nce_rng, 1.0 - nce_dropout, fused.shape)
+            fused = jnp.where(keep, fused / (1.0 - nce_dropout), 0.0)
+        return fused_info_nce(img_proj, fused, nce_tau, None)
+
     def loss_fn(params, batch_stats, batch: Batch, rng):
         drop_rng, nce_rng = jax.random.split(rng)
         (outputs, fused, img_proj), mutated = model.apply(
@@ -79,8 +94,7 @@ def make_teacher_train_step(
         fused = fused.astype(jnp.float32)
         img_proj = img_proj.astype(jnp.float32)
         gt = pose_loss(outputs, batch["label"], bin_size)
-        nce = info_nce_kd(img_proj, fused, nce_tau, dropout_rng=nce_rng,
-                          dropout_rate=nce_dropout)
+        nce = _nce(img_proj, fused, nce_rng)
         loss = gt + nce_weight * nce
         return loss, (outputs, mutated["batch_stats"], gt, nce)
 

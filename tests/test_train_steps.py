@@ -64,6 +64,23 @@ def test_teacher_train_step_runs_and_updates(rng):
     assert max(jax.tree.leaves(diff)) > 0
 
 
+def test_teacher_step_fused_nce_matches_xla_path(rng):
+    """The pallas-NCE variant of the teacher step produces the same loss as
+    the XLA path given the same RNG stream."""
+    model = _small_teacher()
+    tx = torch_style_adam(1e-4)
+    state = create_train_state(model, (jnp.zeros((1, IMG, IMG, 3)),
+                                       jnp.zeros((1, PTS, 3))),
+                               jax.random.key(0), tx)
+    batch = _batch(rng)
+    step_xla = jax.jit(steps.make_teacher_train_step(model, use_fused_nce=False))
+    step_pl = jax.jit(steps.make_teacher_train_step(model, use_fused_nce=True))
+    _, m1 = step_xla(state, batch)
+    _, m2 = step_pl(state, batch)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)
+    assert float(m1["nce_loss"]) == pytest.approx(float(m2["nce_loss"]), rel=1e-4)
+
+
 def test_kd_crd_step_runs(rng):
     student = _small_student()
     teacher = _small_teacher()
