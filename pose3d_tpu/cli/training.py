@@ -102,10 +102,30 @@ def main(argv=None):
                                     kind="student", bin_size=opt.bin_size,
                                     mesh=mesh, print_freq=opt.print_freq)
     else:
+        # the per-category Acc sweep uses Pascal3DContrast val subsets with
+        # keypoint=False (training.py:320-326), distinct from the val_new set
+        cat_eval_loader = None
+        if opt.dataset in ("ObjectNet3D", "Pascal3D"):
+            from pose3d_tpu.data import datasets as ds_mod
+
+            root_dir = os.path.join(opt.data_root, opt.dataset)
+            cat_ds = ds_mod.Pascal3DContrast(
+                root_dir, f"{opt.dataset}.txt", train=False,
+                cat_choice=common.test_cats_for(opt.dataset), keypoint=False,
+                novel=False, shape=opt.shape, shape_dir=opt.shape_dir,
+                view_num=opt.view_num, tour=opt.tour, input_dim=opt.input_dim,
+                point_num=opt.point_num)
+            cat_eval_loader = DataLoader(cat_ds, opt.batch_size, shuffle=False,
+                                         num_workers=opt.workers,
+                                         seed=common.MANUAL_SEED)
+            category_names = cat_ds.category_names
+        else:
+            category_names = dataset_eval.category_names
         trainer = TeacherTrainer(model, state, train_loader, eval_loader,
-                                 dataset_eval.category_names, result_path,
+                                 category_names, result_path,
                                  bin_size=opt.bin_size, mesh=mesh,
-                                 print_freq=opt.print_freq)
+                                 print_freq=opt.print_freq,
+                                 cat_eval_loader=cat_eval_loader)
     trainer.profile_dir = opt.profile_dir
     start_epoch = 0
     if opt.resume:

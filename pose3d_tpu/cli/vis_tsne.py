@@ -41,6 +41,8 @@ def parse_args(argv=None):
     parser.add_argument("--perplexity", type=float, default=30.0)
     parser.add_argument("--bin_color", type=int, default=0,
                         help="which angle (0=azi,1=ele,2=inp) colors the scatter")
+    parser.add_argument("--n_components", type=int, default=2, choices=[2, 3],
+                        help="t-SNE dims (the reference vis_tSNE uses 3)")
     opt = parser.parse_args(argv)
     common.normalize_shape(opt)
     return opt
@@ -122,7 +124,8 @@ def run_tsne(features: dict[str, np.ndarray], labels: np.ndarray, opt):
     n_pca = min(50, stacked.shape[0], stacked.shape[1])
     if stacked.shape[1] > n_pca:
         stacked = PCA(n_components=n_pca).fit_transform(stacked)
-    emb = TSNE(n_components=2, perplexity=min(opt.perplexity, max(2, len(stacked) // 4)),
+    emb = TSNE(n_components=opt.n_components,
+               perplexity=min(opt.perplexity, max(2, len(stacked) // 4)),
                init="pca", random_state=0).fit_transform(stacked)
 
     per = emb.shape[0] // len(names)
@@ -144,11 +147,17 @@ def main(argv=None):
         matplotlib.use("agg")
         import matplotlib.pyplot as plt
 
-        fig, ax = plt.subplots(figsize=(8, 8))
+        if opt.n_components == 3:
+            fig = plt.figure(figsize=(8, 8))
+            ax = fig.add_subplot(projection="3d")
+        else:
+            fig, ax = plt.subplots(figsize=(8, 8))
         markers = {0: "o", 1: "^"}
         for i, (name, emb) in enumerate(embeddings.items()):
             colors = (labels[: len(emb), opt.bin_color] // 15).astype(int)
-            sc = ax.scatter(emb[:, 0], emb[:, 1], c=colors, cmap="hsv", s=8,
+            coords = (emb[:, 0], emb[:, 1]) if opt.n_components == 2 else (
+                emb[:, 0], emb[:, 1], emb[:, 2])
+            sc = ax.scatter(*coords, c=colors, cmap="hsv", s=8,
                             marker=markers.get(i, "o"), label=name, alpha=0.7)
         ax.legend()
         fig.colorbar(sc, ax=ax, label=["azimuth", "elevation", "inplane"][opt.bin_color]

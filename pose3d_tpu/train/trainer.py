@@ -77,25 +77,40 @@ class _Base:
             self._profiled = True
             print(f"profiler trace written to {self.profile_dir}")
 
-    def _eval(self, eval_step, variables, eval_loader, category_names) -> CategoryEvalResult:
+    def _eval(self, eval_step, variables, eval_loader,
+              category_names=None) -> CategoryEvalResult:
+        # cat_id values are indices into the PRODUCING dataset's sorted
+        # category list — always resolve names from that dataset
+        if category_names is None or hasattr(eval_loader, "dataset"):
+            names = getattr(eval_loader.dataset, "category_names", category_names)
+        else:
+            names = category_names
+
         def batches():
             for b in eval_loader:
                 db = _device_batch(b, self.mesh)
                 yield {**db, "cat_id": b["cat_id"], "valid": b["valid"]}
 
-        return evaluate_categories(eval_step, variables, batches(), category_names)
+        return evaluate_categories(eval_step, variables, batches(), names)
 
 
 class TeacherTrainer(_Base):
     """Contrastive multimodal teacher training (training.py recipe)."""
 
     def __init__(self, model, state, train_loader, eval_loader, category_names,
-                 result_path, bin_size: int = 15, mesh=None, print_freq: int = 50):
+                 result_path, bin_size: int = 15, mesh=None, print_freq: int = 50,
+                 cat_eval_loader=None):
+        """cat_eval_loader: optional second val loader for the per-category
+        Acc/Med sweep. The reference computes val_new loss on its Pascal3D
+        eval set but the per-category accuracies on Pascal3DContrast val
+        subsets (training.py:310 vs 320-326) — pass both to reproduce that;
+        defaults to eval_loader when omitted."""
         super().__init__(result_path, mesh)
         self.model = model
         self.state = state
         self.train_loader = train_loader
         self.eval_loader = eval_loader
+        self.cat_eval_loader = cat_eval_loader or eval_loader
         self.category_names = category_names
         self.print_freq = print_freq
         self.train_step = jax.jit(steps_lib.make_teacher_train_step(model, bin_size),
@@ -134,7 +149,12 @@ class TeacherTrainer(_Base):
             variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
             result = self._eval(self.eval_step, variables, self.eval_loader,
                                 self.category_names)
-            eval_acc = result.mean_acc
+            if self.cat_eval_loader is not self.eval_loader:
+                cat_result = self._eval(self.eval_step, variables,
+                                        self.cat_eval_loader, self.category_names)
+                eval_acc = cat_result.mean_acc
+            else:
+                eval_acc = result.mean_acc
 
             is_best = eval_acc > best_acc
             best_acc = max(best_acc, eval_acc)
