@@ -48,7 +48,7 @@ def _eye(n):
 
 
 def _fwd_kernel(s_ref, t_ref, tau_ref, loss_ref, denom_ref, m_ref):
-    tau = tau_ref[0]
+    tau = tau_ref[0, 0]
     s, _ = _normalize(s_ref[:].astype(jnp.float32))
     t, _ = _normalize(t_ref[:].astype(jnp.float32))
     z = jnp.dot(s, t.T, preferred_element_type=jnp.float32) / tau  # (N, N)
@@ -64,8 +64,8 @@ def _fwd_kernel(s_ref, t_ref, tau_ref, loss_ref, denom_ref, m_ref):
 
 
 def _bwd_kernel(s_ref, t_ref, tau_ref, denom_ref, m_ref, g_ref, ds_ref, dt_ref):
-    tau = tau_ref[0]
-    g = g_ref[0]
+    tau = tau_ref[0, 0]
+    g = g_ref[0, 0]
     s_raw = s_ref[:].astype(jnp.float32)
     t_raw = t_ref[:].astype(jnp.float32)
     s, s_norm = _normalize(s_raw)
@@ -116,7 +116,7 @@ def _fwd_call(s, t, tau, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(s, t, jnp.asarray([tau], jnp.float32))
+    )(s, t, jnp.asarray([[tau]], jnp.float32))
     return loss[0, 0], denom, m
 
 
@@ -142,8 +142,8 @@ def _bwd_call(s, t, tau, denom, m, g, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(s, t, jnp.asarray([tau], jnp.float32), denom, m,
-      jnp.asarray([g], jnp.float32))
+    )(s, t, jnp.asarray([[tau]], jnp.float32), denom, m,
+      jnp.asarray([[g]], jnp.float32))
     return ds, dt
 
 

@@ -96,6 +96,36 @@ def test_torch_import_student_output_parity(tmp_path, reference_models):
 
 
 @pytest.mark.slow
+def test_torch_export_roundtrip_student(tmp_path, reference_models):
+    """torch -> flax (import) -> torch (export): every tensor identical."""
+    import torch
+
+    TorchBaseline, _ = reference_models
+    torch.manual_seed(1)
+    tmodel = TorchBaseline(img_feature_dim=2048)
+    path = str(tmp_path / "s.pth")
+    torch.save({"state_dict": tmodel.state_dict()}, path)
+
+    from pose3d_tpu.models import BaselineEstimator
+    from pose3d_tpu.train.torch_import import load_torch_variables
+    from pose3d_tpu.train.torch_export import export_baseline_estimator
+
+    model = BaselineEstimator(img_feature_dim=2048)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)),
+                           train=False)
+    variables = load_torch_variables(path, variables)
+    exported = export_baseline_estimator(variables)
+
+    original = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    for key, val in original.items():
+        if "num_batches_tracked" in key:
+            continue
+        assert key in exported, key
+        np.testing.assert_allclose(exported[key], val, rtol=1e-6, atol=1e-7,
+                                   err_msg=key)
+
+
+@pytest.mark.slow
 def test_torch_import_teacher_output_parity(tmp_path, reference_models):
     import torch
 
