@@ -48,38 +48,38 @@ def _eye(n):
 
 
 def _fwd_kernel(s_ref, t_ref, tau_ref, loss_ref, denom_ref, m_ref):
+    # all row-wise quantities kept as (N, 1) column vectors: Mosaic vector
+    # lanes want >= 2-D shapes
     tau = tau_ref[0, 0]
     s, _ = _normalize(s_ref[:].astype(jnp.float32))
     t, _ = _normalize(t_ref[:].astype(jnp.float32))
     z = jnp.dot(s, t.T, preferred_element_type=jnp.float32) / tau  # (N, N)
-    pos = jnp.sum(z * _eye(z.shape[0]), axis=-1)
-    m = jnp.maximum(jnp.max(z, axis=-1), pos)  # row max for stability
-    exp_z = jnp.exp(z - m[:, None])
+    pos = jnp.sum(z * _eye(z.shape[0]), axis=-1, keepdims=True)  # (N, 1)
+    m = jnp.maximum(jnp.max(z, axis=-1, keepdims=True), pos)  # (N, 1)
+    exp_z = jnp.exp(z - m)
     exp_pos = jnp.exp(pos - m)
-    denom = exp_pos + jnp.sum(exp_z, axis=-1)  # scaled by exp(-m)
-    loss = jnp.mean(-(pos - m) + jnp.log(denom))
-    loss_ref[0, 0] = loss
-    denom_ref[:, 0] = denom
-    m_ref[:, 0] = m
+    denom = exp_pos + jnp.sum(exp_z, axis=-1, keepdims=True)  # (N, 1)
+    per_row = -(pos - m) + jnp.log(denom)  # (N, 1)
+    loss_ref[0, 0] = jnp.sum(per_row) / per_row.shape[0]
+    denom_ref[:] = denom
+    m_ref[:] = m
 
 
 def _bwd_kernel(s_ref, t_ref, tau_ref, denom_ref, m_ref, g_ref, ds_ref, dt_ref):
     tau = tau_ref[0, 0]
     g = g_ref[0, 0]
-    s_raw = s_ref[:].astype(jnp.float32)
-    t_raw = t_ref[:].astype(jnp.float32)
-    s, s_norm = _normalize(s_raw)
-    t, t_norm = _normalize(t_raw)
+    s, s_norm = _normalize(s_ref[:].astype(jnp.float32))
+    t, t_norm = _normalize(t_ref[:].astype(jnp.float32))
     n = s.shape[0]
     z = jnp.dot(s, t.T, preferred_element_type=jnp.float32) / tau
-    denom = denom_ref[:, 0]
-    m = m_ref[:, 0]
-    q = jnp.exp(z - m[:, None]) / denom[:, None]  # (N, N)
+    denom = denom_ref[:]  # (N, 1)
+    m = m_ref[:]  # (N, 1)
+    q = jnp.exp(z - m) / denom  # (N, N)
     eye = _eye(n)
-    pos = jnp.sum(z * eye, axis=-1)
-    q_pos = jnp.exp(pos - m) / denom
+    pos = jnp.sum(z * eye, axis=-1, keepdims=True)  # (N, 1)
+    q_pos = jnp.exp(pos - m) / denom  # (N, 1)
     # dL/dz scaled by upstream cotangent g
-    dz = (q + eye * (q_pos - 1.0)[:, None]) * (g / n)
+    dz = (q + eye * (q_pos - 1.0)) * (g / n)
     ds_n = jnp.dot(dz, t, preferred_element_type=jnp.float32) / tau
     dt_n = jnp.dot(dz.T, s, preferred_element_type=jnp.float32) / tau
     # back through row normalization
