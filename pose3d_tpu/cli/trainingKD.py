@@ -54,6 +54,9 @@ def parse_args(argv=None):
                         help="capture a jax.profiler trace of early steps here")
     parser.add_argument("--resume", action="store_true",
                         help="auto-resume the student from the latest checkpoint")
+    parser.add_argument("--export_torch", type=str, default=None,
+                        help="also write the final student as a reference-"
+                             "loadable PyTorch .pth at this path")
     # the reference hard-codes the teacher at 1024/1024 (trainingKD.py:213-216)
     parser.set_defaults(img_feature_dim=1024, shape_feature_dim=1024)
     opt = parser.parse_args(argv)
@@ -173,6 +176,15 @@ def main(argv=None):
         else:
             n = opt.n_epoch or EPOCHS["crd"]
             best = trainer.fit_crd(n, start_epoch=start_epoch)
+
+    if opt.export_torch:
+        from pose3d_tpu.train.torch_export import save_torch_checkpoint
+
+        save_torch_checkpoint(opt.export_torch, {
+            "params": trainer.student_state.params,
+            "batch_stats": trainer.student_state.batch_stats,
+        }, arch="baseline")
+        print(f"torch checkpoint exported to {opt.export_torch}")
 
     print(f"best val acc: {best:.2f}")
 
