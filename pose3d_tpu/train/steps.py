@@ -198,12 +198,18 @@ def make_stage1_step(
     bin_size: int = 15,
     tau: float = 0.5,
     nce_weight: float = 0.75,
+    use_memory_bank: bool = False,
 ) -> Callable:
-    """Both models train. step(teacher_state, student_state, batch) ->
-    (teacher_state, student_state, metrics). Teacher must have vanilla arity
-    ([6], feat) — base_class.py:494."""
+    """Both models train. step(teacher_state, student_state, batch[, bank]) ->
+    (teacher_state, student_state, metrics[, bank]). Teacher must have vanilla
+    arity ([6], feat) — base_class.py:494.
 
-    def loss_fn(t_params, s_params, t_bs, s_bs, batch: Batch, rng):
+    use_memory_bank=True is the OPTIONAL extension beyond the reference
+    (SURVEY.md §5 note): the symmetric NCE's negative pool is enlarged by a
+    MoCo-style FIFO queue of past features (losses/memory_bank.py); the step
+    then takes/returns a MemoryBank and enqueues the teacher features."""
+
+    def loss_fn(t_params, s_params, t_bs, s_bs, batch: Batch, rng, bank):
         s_rng, nce_rng1, nce_rng2 = jax.random.split(rng, 3)
         (s_out, s_feat), s_mut = student_model.apply(
             {"params": s_params, "batch_stats": s_bs},
@@ -218,25 +224,37 @@ def make_stage1_step(
         t_feat = t_feat.astype(jnp.float32)
 
         teacher_loss = pose_loss(t_out, batch["label"], bin_size)
-        nce_s2t = info_nce_kd(s_feat, t_feat, tau, dropout_rng=nce_rng1)
-        nce_t2s = info_nce_kd(t_feat, s_feat, tau, dropout_rng=nce_rng2)
-        loss = teacher_loss + nce_weight * (0.5 * nce_s2t + 0.5 * nce_t2s)
-        return loss, (t_out, t_mut["batch_stats"], s_mut["batch_stats"], teacher_loss)
+        if use_memory_bank:
+            from pose3d_tpu.losses import info_nce_memory
 
-    def step(teacher_state, student_state, batch: Batch):
+            nce_s2t = info_nce_memory(s_feat, t_feat, bank, tau)
+            nce_t2s = info_nce_memory(t_feat, s_feat, bank, tau)
+        else:
+            nce_s2t = info_nce_kd(s_feat, t_feat, tau, dropout_rng=nce_rng1)
+            nce_t2s = info_nce_kd(t_feat, s_feat, tau, dropout_rng=nce_rng2)
+        loss = teacher_loss + nce_weight * (0.5 * nce_s2t + 0.5 * nce_t2s)
+        return loss, (t_out, t_mut["batch_stats"], s_mut["batch_stats"],
+                      teacher_loss, t_feat)
+
+    def step(teacher_state, student_state, batch: Batch, bank=None):
         rng, new_rng = jax.random.split(student_state.rng)
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
-        (loss, (t_out, t_bs, s_bs, t_loss)), (t_grads, s_grads) = grad_fn(
+        (loss, (t_out, t_bs, s_bs, t_loss, t_feat)), (t_grads, s_grads) = grad_fn(
             teacher_state.params, student_state.params,
-            teacher_state.batch_stats, student_state.batch_stats, batch, rng,
+            teacher_state.batch_stats, student_state.batch_stats, batch, rng, bank,
         )
         teacher_state = teacher_state.apply_gradients(t_grads, new_batch_stats=t_bs)
         student_state = student_state.apply_gradients(
             s_grads, new_batch_stats=s_bs, new_rng=new_rng
         )
         _, acc = _train_metrics(t_out, batch["label"], bin_size)
-        return teacher_state, student_state, {"loss": loss, "teacher_loss": t_loss,
-                                              "acc_rot": acc}
+        metrics = {"loss": loss, "teacher_loss": t_loss, "acc_rot": acc}
+        if use_memory_bank:
+            from pose3d_tpu.losses import enqueue
+
+            bank = enqueue(bank, t_feat)
+            return teacher_state, student_state, metrics, bank
+        return teacher_state, student_state, metrics
 
     return step
 

@@ -90,6 +90,39 @@ def test_fewshot_training_runs(data_root, tmp_path):
     assert "training set: 4" in log
 
 
+def test_testing_cli_linemod(tmp_path):
+    from pose3d_tpu.cli import testing
+    from pose3d_tpu.data import synthetic
+
+    root = tmp_path / "data" / "LineMod"
+    synthetic.make_linemod_fixture(str(root))
+    out_dir = str(tmp_path / "preds_lm")
+    result = testing.main([
+        "--dataset", "LineMod", "--shape", "None", "--data_root",
+        str(tmp_path / "data"), "--batch_size", "4", "--workers", "0",
+        "--input_dim", "32", "--img_feature_dim", "32", "--output_dir", out_dir,
+    ])
+    assert "Average for all categories" in open(
+        os.path.join(out_dir, "testing_log.txt")).read()
+    assert len(result.per_category_acc) == 2  # obj 1 and 2
+
+
+def test_testing_cli_pix3d(tmp_path):
+    from pose3d_tpu.cli import testing
+    from pose3d_tpu.data import synthetic
+
+    root = tmp_path / "data" / "Pix3D"
+    synthetic.make_pix3d_fixture(str(root), n_per_cat=3)
+    out_dir = str(tmp_path / "preds_px")
+    result = testing.main([
+        "--dataset", "Pix3D", "--shape", "None", "--data_root",
+        str(tmp_path / "data"), "--batch_size", "4", "--workers", "0",
+        "--input_dim", "32", "--img_feature_dim", "32", "--output_dir", out_dir,
+    ])
+    assert result.sample_med >= 0.0
+    assert len(result.per_category_acc) >= 1
+
+
 def test_testing_cli_student(data_root, tmp_path):
     from pose3d_tpu.cli import testing
 

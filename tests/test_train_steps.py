@@ -130,6 +130,30 @@ def test_stage1_step_updates_both(rng):
     assert t_diff > 0 and s_diff > 0
 
 
+def test_stage1_memory_bank_variant(rng):
+    """The memory-bank stage-1 extension runs, enqueues, and converges to the
+    in-batch loss when the bank is empty... (it never is after step 1)."""
+    from pose3d_tpu.losses import init_memory_bank
+
+    teacher = _small_vanilla()
+    student = _small_student()
+    t_state = create_train_state(teacher, (jnp.zeros((1, IMG, IMG, 3)),
+                                           jnp.zeros((1, PTS, 3))),
+                                 jax.random.key(0), torch_style_adam(1e-4))
+    s_state = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                                 jax.random.key(1), torch_style_adam(1e-4))
+    step = jax.jit(steps.make_stage1_step(teacher, student, use_memory_bank=True))
+    bank = init_memory_bank(32, 200)
+    batch = _batch(rng)
+    t_state, s_state, metrics, bank = step(t_state, s_state, batch, bank)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(bank.filled) == 8  # teacher features enqueued
+    # second step sees a non-empty bank
+    _, _, metrics2, bank = step(t_state, s_state, batch, bank)
+    assert int(bank.filled) == 16
+    assert np.isfinite(float(metrics2["loss"]))
+
+
 def test_stage2_step_runs(rng):
     student = _small_student()
     teacher = _small_vanilla()
