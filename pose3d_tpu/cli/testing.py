@@ -103,10 +103,9 @@ def main(argv=None):
                                  dataset.category_names)
 
     with open(logname, "a") as f:
+        name_to_id = {n: i for i, n in enumerate(dataset.category_names)}
         for cat in result.per_category_acc:
-            n_cat = int(np.sum(dataset.frame.get("cat", dataset.frame.get(
-                "cls_name", dataset.frame.get("obj_id"))) == cat)) \
-                if hasattr(dataset, "frame") else 0
+            n_cat = int(np.sum(result.cat_ids == name_to_id.get(cat, -2)))
             f.write("test accuracy for %d images of catgory %s in datatset %s \n"
                     % (n_cat, cat, opt.dataset))
             f.write("Med_Err is %.2f, and Acc_pi/6 is %.2f \n \n"
