@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import struct
 import threading
 
 import numpy as np

@@ -18,14 +18,12 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from pose3d_tpu.data.loader import Prefetcher
-from pose3d_tpu.parallel import make_mesh, shard_batch, replicate
+from pose3d_tpu.parallel import shard_batch
 from pose3d_tpu.train import steps as steps_lib
 from pose3d_tpu.train.ckpt import Checkpointer
 from pose3d_tpu.train.evaluate import evaluate_categories, CategoryEvalResult
