@@ -37,6 +37,19 @@ def test_folded_params_match_model_eval(rng):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_vgg_stem_fused_matches_xla(rng):
+    """Experimental stem kernel (interpret mode): conv+relu+pool fusion must
+    be exact vs the XLA reference."""
+    from pose3d_tpu.ops.vgg_stem import fused_vgg_stem, xla_vgg_stem
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)).astype(np.float32))
+    k = jnp.asarray((rng.standard_normal((3, 3, 3, 64)) * 0.1).astype(np.float32))
+    b = jnp.asarray((rng.standard_normal(64) * 0.1).astype(np.float32))
+    ref = xla_vgg_stem(x, k, b)
+    out = fused_vgg_stem(x, k, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_geodesic_pallas_matches_geometry(rng):
     from pose3d_tpu import geometry
     from pose3d_tpu.ops.geodesic import rotation_err_pallas
