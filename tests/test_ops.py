@@ -49,6 +49,14 @@ def test_vgg_stem_fused_matches_xla(rng):
     out = fused_vgg_stem(x, k, b, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
+    from pose3d_tpu.ops.vgg_stem import fused_vgg_stem_cf
+
+    x32 = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ref2 = xla_vgg_stem(x32, k, b)
+    out2 = fused_vgg_stem_cf(x32, k, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), rtol=1e-5,
+                               atol=1e-5)
+
 
 def test_geodesic_pallas_matches_geometry(rng):
     from pose3d_tpu import geometry
