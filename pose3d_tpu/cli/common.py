@@ -82,7 +82,8 @@ def build_student(opt, img_feature_dim=None):
     return BaselineEstimator(
         img_feature_dim=img_feature_dim or opt.img_feature_dim,
         azi_classes=azi, ele_classes=ele, inp_classes=inp,
-        bin_size=opt.bin_size, dtype=compute_dtype(opt))
+        bin_size=opt.bin_size, dtype=compute_dtype(opt),
+        width_mult=getattr(opt, "student_width_mult", 1.0))
 
 
 def build_teacher(opt, img_feature_dim=None, shape_feature_dim=None):

@@ -64,11 +64,13 @@ class BaselineEstimator(nn.Module):
     bin_size: int = 15
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    width_mult: float = 1.0  # narrower-backbone extension (see models/vgg.py)
 
     @nn.compact
     def __call__(self, im: jnp.ndarray, train: bool = True):
         img_feature = vgg11(num_classes=self.img_feature_dim, dtype=self.dtype,
-                            axis_name=self.axis_name)(im, train)
+                            axis_name=self.axis_name,
+                            width_mult=self.width_mult)(im, train)
 
         x = img_feature
         for width in (800, 400, 200):

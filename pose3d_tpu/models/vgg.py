@@ -35,6 +35,8 @@ class VGG(nn.Module):
     dropout_rate: float = 0.5
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    width_mult: float = 1.0  # extension: narrower students for faster
+    # inference — the natural target of the KD pipeline (not in the reference)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
@@ -42,6 +44,8 @@ class VGG(nn.Module):
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
+                if self.width_mult != 1.0:
+                    v = max(16, int(round(v * self.width_mult / 16)) * 16)
                 x = nn.Conv(v, (3, 3), padding="SAME", use_bias=True,
                             dtype=self.dtype, param_dtype=jnp.float32,
                             kernel_init=kaiming_leaky02, bias_init=zeros)(x)
@@ -66,9 +70,9 @@ class VGG(nn.Module):
 
 def _make(cfg_key: str, batch_norm: bool = False):
     def ctor(num_classes: int = 1000, dtype: Any = jnp.float32,
-             axis_name: str | None = None) -> VGG:
+             axis_name: str | None = None, width_mult: float = 1.0) -> VGG:
         return VGG(cfg=CFG[cfg_key], num_classes=num_classes, batch_norm=batch_norm,
-                   dtype=dtype, axis_name=axis_name)
+                   dtype=dtype, axis_name=axis_name, width_mult=width_mult)
 
     return ctor
 

@@ -124,6 +124,18 @@ def test_vgg11_feature_dim():
     assert out.shape == (1, 2048)
 
 
+def test_width_mult_student():
+    """Narrower-student extension: half-width VGG keeps head shapes."""
+    m = BaselineEstimator(img_feature_dim=128, width_mult=0.5)
+    x = jnp.zeros((2, 64, 64, 3))
+    v = _init(m, x)
+    outputs, proj = m.apply(v, x, train=False)
+    assert [o.shape[-1] for o in outputs] == [24, 12, 24, 24, 12, 24]
+    assert proj.shape == (2, 200)
+    # conv channels actually halved: first conv 32 instead of 64
+    assert v["params"]["VGG_0"]["Conv_0"]["kernel"].shape[-1] == 32
+
+
 def test_batch_stats_update_in_train_mode():
     m = ShapeEncoderPC(feature_dim=64)
     pts = jax.random.normal(jax.random.key(1), (8, 100, 3))
