@@ -89,6 +89,10 @@ def export_vgg11(params, stats, path, sd, prefix):
     # Dense_0: invert the HWC->CHW flatten permutation of the input axis
     d0 = _get(params, path + ("Dense_0",))
     w = _np(d0["kernel"]).T  # (4096, 7*7*512) HWC order
+    if w.shape[1] != 7 * 7 * 512:
+        raise ValueError(
+            "torch export requires the reference-shaped student (width_mult=1, "
+            f"224px input); classifier input is {w.shape[1]}, expected 25088")
     w = w.reshape(w.shape[0], 7, 7, 512).transpose(0, 3, 1, 2).reshape(w.shape[0], -1)
     sd[p("classifier.0.weight")] = w.copy()
     sd[p("classifier.0.bias")] = _np(d0["bias"]).copy()
