@@ -123,6 +123,22 @@ def test_testing_cli_pix3d(tmp_path):
     assert len(result.per_category_acc) >= 1
 
 
+def test_testing_cli_teacher_pointcloud(data_root, tmp_path):
+    """Teacher eval path through the testing CLI (--shape PointCloud)."""
+    from pose3d_tpu.cli import testing
+
+    out_dir = str(tmp_path / "preds_teacher")
+    result = testing.main([
+        "--dataset", "ObjectNet3D", "--shape", "PointCloud", "--shape_dir",
+        "pointcloud", "--data_root", data_root, "--batch_size", "4",
+        "--workers", "0", "--input_dim", "64", "--point_num", "64",
+        "--img_feature_dim", "64", "--shape_feature_dim", "64",
+        "--output_dir", out_dir,
+    ])
+    assert 0.0 <= result.mean_acc <= 100.0
+    assert os.path.exists(os.path.join(out_dir, "testing_log.txt"))
+
+
 def test_testing_cli_student(data_root, tmp_path):
     from pose3d_tpu.cli import testing
 
