@@ -42,7 +42,18 @@ class Checkpointer:
         self._ckptr.wait_until_finished()
 
     def restore(self, name: str, target: Any | None = None) -> Any:
-        return self._ckptr.restore(self._path(name), target=target)
+        if target is not None:
+            return self._ckptr.restore(self._path(name), target=target)
+        # targetless restore: load as plain numpy so checkpoints written on
+        # one platform (TPU) restore on another (CPU) — the saved sharding
+        # metadata references devices that may not exist here
+        path = self._path(name)
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata
+        tree = meta.tree if hasattr(meta, "tree") else meta
+        restore_args = jax.tree.map(
+            lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(path, restore_args=restore_args)
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))
