@@ -36,6 +36,8 @@ def parse_args(argv=None):
                         help="auto-resume from the latest checkpoint")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of early steps here")
+    parser.add_argument("--device_augment", action="store_true",
+                        help="run photometric augs + normalize on-device")
     opt = parser.parse_args(argv)
     common.normalize_shape(opt)
     return opt
@@ -121,11 +123,14 @@ def main(argv=None):
             category_names = cat_ds.category_names
         else:
             category_names = dataset_eval.category_names
+        if opt.device_augment and hasattr(dataset_train, "host_augment"):
+            dataset_train.host_augment = False
         trainer = TeacherTrainer(model, state, train_loader, eval_loader,
                                  category_names, result_path,
                                  bin_size=opt.bin_size, mesh=mesh,
                                  print_freq=opt.print_freq,
-                                 cat_eval_loader=cat_eval_loader)
+                                 cat_eval_loader=cat_eval_loader,
+                                 device_augment=opt.device_augment)
     trainer.profile_dir = opt.profile_dir
     start_epoch = 0
     if opt.resume:

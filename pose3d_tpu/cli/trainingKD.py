@@ -57,6 +57,10 @@ def parse_args(argv=None):
                         help="capture a jax.profiler trace of early steps here")
     parser.add_argument("--resume", action="store_true",
                         help="auto-resume the student from the latest checkpoint")
+    parser.add_argument("--device_augment", action="store_true",
+                        help="run photometric augs + normalize on-device "
+                             "(loader emits raw pixels; fixes the GIL-bound "
+                             "host bottleneck, docs/PERF.md)")
     parser.add_argument("--export_torch", type=str, default=None,
                         help="also write the final student as a reference-"
                              "loadable PyTorch .pth at this path")
@@ -91,6 +95,8 @@ def main(argv=None):
 
     dataset_train, dataset_eval = common.build_train_eval_datasets(
         opt, contrast_eval=True)
+    if opt.device_augment and hasattr(dataset_train, "host_augment"):
+        dataset_train.host_augment = False
     # eval for the student path is RGB-only regardless of teacher shape
     train_loader = DataLoader(dataset_train, opt.batch_size, shuffle=True,
                               drop_last=len(dataset_train) > opt.batch_size,
@@ -160,7 +166,8 @@ def main(argv=None):
         trainer = KDTrainer(student, teacher, student_state, teacher_vars,
                             train_loader, eval_loader, dataset_eval.category_names,
                             result_path, bin_size=opt.bin_size,
-                            temperature=opt.temperature, tau=opt.tau, mesh=mesh)
+                            temperature=opt.temperature, tau=opt.tau, mesh=mesh,
+                            device_augment=opt.device_augment)
         trainer.profile_dir = opt.profile_dir
         start_epoch = 0
         if opt.resume:

@@ -39,9 +39,17 @@ def _load_rgb(path: str) -> Image.Image:
     return Image.open(path).convert("RGB")
 
 
-def _finalize(im: Image.Image, rng, train: bool, contrast: bool) -> np.ndarray:
-    """ToTensor + aug + normalize + PCA lighting as float32 HWC."""
+def _finalize(im: Image.Image, rng, train: bool, contrast: bool,
+              host_augment: bool = True) -> np.ndarray:
+    """ToTensor + aug + normalize + PCA lighting as float32 HWC.
+
+    host_augment=False emits RAW float [0,1] pixels — the photometric augs +
+    normalize then run on-device inside the train step
+    (pose3d_tpu.ops.augment), sidestepping the GIL-bound numpy ops that cap
+    host throughput (docs/PERF.md)."""
     arr = T.to_float_array(im)
+    if not host_augment:
+        return arr.astype(np.float32)
     if train:
         if contrast:
             if rng.random() < 0.8:
@@ -175,7 +183,7 @@ class Pascal3DContrast(_PascalBase):
                  shape_dir="Renders_semi_sphere", random=False, novel=False,
                  keypoint=True, train=True, cat_choice=None, random_model=False,
                  view_num=12, tour=2, random_range=0, point_num=2500, shot=None,
-                 offset=0, train_cls=None, seed=None):
+                 offset=0, train_cls=None, seed=None, host_augment=True):
         frame = anno.pascal3d_frame(
             root_dir, annotation_file, train=train, keypoint=keypoint, novel=novel,
             cat_choice=cat_choice, train_cls=train_cls, shot=shot,
@@ -186,6 +194,8 @@ class Pascal3DContrast(_PascalBase):
         self.train = train
         self.offset = offset
         self.random_model = random_model
+        # False -> raw [0,1] pixels; photometric augs run on-device (ops/augment)
+        self.host_augment = host_augment
 
     def get(self, idx: int, rng: np.random.Generator) -> dict[str, Any]:
         row = self.frame.iloc[idx]
@@ -208,16 +218,18 @@ class Pascal3DContrast(_PascalBase):
             # rotated view (dataset.py:556-564)
             r = float(rng.choice([-15, 15]))
             im_rot = T.resize_pad(im.rotate(r), self.input_dim)
-            arr_rot = _finalize(im_rot, rng, train=True, contrast=True)
+            arr_rot = _finalize(im_rot, rng, train=True, contrast=True,
+                                host_augment=self.host_augment)
             label_rot = T.process_viewpoint_label(T.rotate_label(label, r), self.offset)
 
             # flipped view (dataset.py:567-573)
             im_flip = T.resize_pad(im.transpose(Image.FLIP_LEFT_RIGHT), self.input_dim)
-            arr_flip = _finalize(im_flip, rng, train=True, contrast=True)
+            arr_flip = _finalize(im_flip, rng, train=True, contrast=True,
+                                 host_augment=self.host_augment)
             label_flip = T.process_viewpoint_label(T.flip_label(label), self.offset)
 
             arr = _finalize(T.resize_pad(im, self.input_dim), rng, train=True,
-                            contrast=True)
+                            contrast=True, host_augment=self.host_augment)
             label_c = T.process_viewpoint_label(label, self.offset)
 
             sample = {

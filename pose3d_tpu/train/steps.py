@@ -67,9 +67,13 @@ def make_teacher_train_step(
     nce_tau: float = 0.1,
     nce_dropout: float = 0.3,
     use_fused_nce: bool = False,
+    device_augment: bool = False,
 ) -> Callable:
     """use_fused_nce routes the contrastive term through the Pallas kernel
-    (ops/nce_fused.py) — identical math; dropout applied outside the kernel."""
+    (ops/nce_fused.py) — identical math; dropout applied outside the kernel.
+    device_augment expects RAW [0,1] pixels from the loader (datasets built
+    with host_augment=False) and applies the photometric augs + normalize
+    on-device (ops/augment.py) — the host-bottleneck fix."""
 
     def _nce(img_proj, fused, nce_rng):
         if not use_fused_nce:
@@ -83,10 +87,15 @@ def make_teacher_train_step(
         return fused_info_nce(img_proj, fused, nce_tau, None)
 
     def loss_fn(params, batch_stats, batch: Batch, rng):
-        drop_rng, nce_rng = jax.random.split(rng)
+        drop_rng, nce_rng, aug_rng = jax.random.split(rng, 3)
+        im = batch["im"]
+        if device_augment:
+            from pose3d_tpu.ops.augment import device_augment as _aug
+
+            im = _aug(im, aug_rng)
         (outputs, fused, img_proj), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            batch["im"], batch["shape"], train=True,
+            im, batch["shape"], train=True,
             rngs={"dropout": drop_rng},
             mutable=["batch_stats"],
         )
@@ -144,10 +153,12 @@ def make_kd_crd_step(
     teacher_model,
     bin_size: int = 15,
     temperature: float = 1.0,
+    device_augment: bool = False,
 ) -> Callable:
     """step(student_state, teacher_variables, batch7) -> (student_state, metrics).
 
     batch7 keys: im, shape, label, im_flip, label_flip, im_rot, label_rot.
+    device_augment: see make_teacher_train_step.
     """
 
     def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng):
@@ -156,6 +167,11 @@ def make_kd_crd_step(
             [batch["label"], batch["label_flip"], batch["label_rot"]], axis=0
         )
         shapes = jnp.concatenate([batch["shape"]] * 3, axis=0)
+        rng, aug_rng = jax.random.split(rng)
+        if device_augment:
+            from pose3d_tpu.ops.augment import device_augment as _aug
+
+            im = _aug(im, aug_rng)
 
         (s_out, s_feat), mutated = student_model.apply(
             {"params": params, "batch_stats": batch_stats},

@@ -97,7 +97,7 @@ class TeacherTrainer(_Base):
 
     def __init__(self, model, state, train_loader, eval_loader, category_names,
                  result_path, bin_size: int = 15, mesh=None, print_freq: int = 50,
-                 cat_eval_loader=None):
+                 cat_eval_loader=None, device_augment: bool = False):
         """cat_eval_loader: optional second val loader for the per-category
         Acc/Med sweep. The reference computes val_new loss on its Pascal3D
         eval set but the per-category accuracies on Pascal3DContrast val
@@ -111,8 +111,10 @@ class TeacherTrainer(_Base):
         self.cat_eval_loader = cat_eval_loader or eval_loader
         self.category_names = category_names
         self.print_freq = print_freq
-        self.train_step = jax.jit(steps_lib.make_teacher_train_step(model, bin_size),
-                                  donate_argnums=(0,))
+        self.train_step = jax.jit(
+            steps_lib.make_teacher_train_step(model, bin_size,
+                                              device_augment=device_augment),
+            donate_argnums=(0,))
         self.eval_step = jax.jit(steps_lib.make_eval_step(model, "teacher", bin_size))
 
     def fit(self, epochs: int, start_epoch: int = 0, save_best: bool = True):
@@ -268,7 +270,7 @@ class KDTrainer(_Base):
     def __init__(self, student_model, teacher_model, student_state, teacher_vars,
                  train_loader, eval_loader, category_names, result_path,
                  bin_size: int = 15, temperature: float = 1.0, tau: float = 0.5,
-                 mesh=None, teacher_state=None):
+                 mesh=None, teacher_state=None, device_augment: bool = False):
         super().__init__(result_path, mesh)
         self.student_model = student_model
         self.teacher_model = teacher_model
@@ -281,13 +283,15 @@ class KDTrainer(_Base):
         self.bin_size = bin_size
         self.temperature = temperature
         self.tau = tau
+        self.device_augment = device_augment
         self.student_eval_step = jax.jit(
             steps_lib.make_eval_step(student_model, "student", bin_size))
 
     # ---------------- crd (the main student path) ----------------
     def fit_crd(self, epochs: int, start_epoch: int = 0):
         step = jax.jit(steps_lib.make_kd_crd_step(
-            self.student_model, self.teacher_model, self.bin_size, self.temperature),
+            self.student_model, self.teacher_model, self.bin_size, self.temperature,
+            device_augment=self.device_augment),
             donate_argnums=(0,))
         keys = ("im", "shape", "label", "im_flip", "label_flip", "im_rot", "label_rot")
         return self._student_loop(step, keys, epochs, start_epoch, "crd")

@@ -37,6 +37,52 @@ def test_folded_params_match_model_eval(rng):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
+def test_device_augment_normalize_parity(rng):
+    """With all randomness disabled, device_augment == host normalize."""
+    from pose3d_tpu.ops.augment import device_augment, device_normalize
+    from pose3d_tpu.data import transforms as T
+
+    raw = rng.random((4, 16, 16, 3)).astype(np.float32)
+    host = np.stack([T.normalize_image(raw[i]) for i in range(4)])
+    dev = np.asarray(device_augment(jnp.asarray(raw), jax.random.key(0),
+                                    jitter_p=0.0, grayscale_p=0.0, pca_std=0.0))
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(device_normalize(jnp.asarray(raw))),
+                               host, rtol=1e-5, atol=1e-6)
+
+
+def test_device_augment_randomness_and_stats(rng):
+    """Augmented outputs vary with the key and stay in a sane range; the
+    grayscale branch leaves all three channels equal."""
+    from pose3d_tpu.ops.augment import device_augment
+
+    raw = jnp.asarray(rng.random((8, 16, 16, 3)).astype(np.float32))
+    a = np.asarray(device_augment(raw, jax.random.key(0)))
+    b = np.asarray(device_augment(raw, jax.random.key(1)))
+    assert not np.allclose(a, b)
+    assert np.isfinite(a).all()
+    g = np.asarray(device_augment(raw, jax.random.key(2), jitter_p=0.0,
+                                  grayscale_p=1.0, pca_std=0.0))
+    # un-normalize: all channels equal iff (x-m)/s differences match per channel
+    from pose3d_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    un = g * IMAGENET_STD + IMAGENET_MEAN
+    np.testing.assert_allclose(un[..., 0], un[..., 1], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(un[..., 1], un[..., 2], rtol=1e-4, atol=1e-5)
+
+
+def test_host_augment_false_emits_raw_pixels(tmp_path, rng):
+    from pose3d_tpu.data import datasets, synthetic
+
+    root = str(tmp_path)
+    synthetic.make_objectnet3d_fixture(root, n_train_per_cat=2, n_val_per_cat=1)
+    ds = datasets.Pascal3DContrast(root, "ObjectNet3D.txt", train=True,
+                                   shape=None, input_dim=32, host_augment=False)
+    s = ds.get(0, np.random.default_rng(0))
+    for k in ("im", "im_flip", "im_rot"):
+        assert s[k].min() >= 0.0 and s[k].max() <= 1.0  # raw pixels, not normalized
+
+
 def test_vgg_stem_fused_matches_xla(rng):
     """Experimental stem kernel (interpret mode): conv+relu+pool fusion must
     be exact vs the XLA reference."""
