@@ -31,13 +31,62 @@ except Exception:
     pass
 
 
+def _bench_kd_step(args) -> None:
+    """KD --crd train step (BASELINE config 4: bs 46, 3 contrast views,
+    frozen PointCloud teacher). Baseline divisor: the reference A100 recipe
+    consumes 46 samples/step; north star is >=5x an A100 step — we report
+    vs the 100 samples/s ballpark a PyTorch A100 run sustains (BASELINE.md)."""
+    from pose3d_tpu.models import BaselineEstimator, PoseEstimator
+    from pose3d_tpu.train import create_train_state, torch_style_adam
+    from pose3d_tpu.train import steps as steps_lib
+
+    rng = np.random.default_rng(0)
+    bk = args.batch if args.batch != 256 else 46
+    student = BaselineEstimator(img_feature_dim=2048, dtype=jnp.bfloat16)
+    teacher = PoseEstimator(shape="PointCloud", img_feature_dim=1024,
+                            shape_feature_dim=1024, dtype=jnp.bfloat16)
+    im = jnp.asarray(rng.standard_normal((bk, args.img, args.img, 3)).astype(np.float32))
+    pc = jnp.asarray(rng.random((bk, 2500, 3)).astype(np.float32))
+    label = jnp.asarray(np.stack([rng.integers(0, 360, bk), rng.integers(0, 180, bk),
+                                  rng.integers(0, 360, bk)], 1).astype(np.int32))
+    tv = teacher.init(jax.random.key(1), im[:1], pc[:1], train=False)
+    sstate = create_train_state(student, (im[:1],), jax.random.key(3),
+                                torch_style_adam(1e-4))
+    batch = {"im": im, "im_flip": im, "im_rot": im, "shape": pc,
+             "label": label, "label_flip": label, "label_rot": label}
+    kstep = jax.jit(steps_lib.make_kd_crd_step(student, teacher))
+
+    for _ in range(args.warmup):
+        s2, m = kstep(sstate, tv, batch)
+        np.asarray(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        sstate, m = kstep(sstate, tv, batch)
+    np.asarray(m["loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_s = bk * args.steps / dt
+    print(json.dumps({
+        "metric": "kd_train_samples_per_s",
+        "value": round(samples_per_s, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_s / 100.0, 3),
+    }))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--warmup", type=int, default=5)
     parser.add_argument("--img", type=int, default=224)
+    parser.add_argument("--metric", type=str, default="student_infer",
+                        choices=["student_infer", "kd_step"])
     args = parser.parse_args(argv)
+
+    if args.metric == "kd_step":
+        _bench_kd_step(args)
+        return
 
     from pose3d_tpu.models import BaselineEstimator
     from pose3d_tpu import geometry

@@ -36,6 +36,11 @@ if _CACHE_DIR:
 def add_common_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--workers", type=int, default=4)
+    parser.add_argument("--loader", type=str, default="thread",
+                        choices=["thread", "shm"],
+                        help="train-loader backend: GIL-sharing threads or "
+                             "shared-memory process workers (scales with "
+                             "host cores; see data/shm_loader.py)")
     parser.add_argument("--model", type=str, default=None, help="optional reload model path")
     parser.add_argument("--img_feature_dim", type=int, default=1024)
     parser.add_argument("--shape_feature_dim", type=int, default=256)
@@ -62,6 +67,24 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
                         help="bfloat16 compute dtype (TPU MXU fast path)")
     parser.add_argument("--n_devices", type=int, default=None,
                         help="data-parallel device count (default: all local)")
+
+
+def make_train_loader(dataset, opt, *, seed: int = MANUAL_SEED):
+    """Train-loader factory honoring --loader.
+
+    'thread' = in-process thread pool (loader.DataLoader); 'shm' =
+    shared-memory process workers (shm_loader.ShmDataLoader), which scale
+    with host cores instead of sharing the GIL with the train loop."""
+    kw = dict(batch_size=opt.batch_size, shuffle=True,
+              drop_last=len(dataset) > opt.batch_size,
+              num_workers=opt.workers, seed=seed)
+    if getattr(opt, "loader", "thread") == "shm":
+        from pose3d_tpu.data.shm_loader import ShmDataLoader
+
+        return ShmDataLoader(dataset, **kw)
+    from pose3d_tpu.data.loader import DataLoader
+
+    return DataLoader(dataset, **kw)
 
 
 def normalize_shape(opt) -> None:

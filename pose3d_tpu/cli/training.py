@@ -51,9 +51,7 @@ def main(argv=None):
     # drop_last=True: jit needs static shapes, and padding the tail batch
     # would push duplicate samples into the gradient — dropping the ragged
     # tail is the exact-equivalence choice under data parallelism
-    train_loader = DataLoader(dataset_train, opt.batch_size, shuffle=True,
-                              drop_last=len(dataset_train) > opt.batch_size,
-                              num_workers=opt.workers, seed=common.MANUAL_SEED)
+    train_loader = common.make_train_loader(dataset_train, opt)
     eval_loader = DataLoader(dataset_eval, opt.batch_size, shuffle=False,
                              num_workers=opt.workers, seed=common.MANUAL_SEED)
 

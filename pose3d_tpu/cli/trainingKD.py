@@ -98,9 +98,7 @@ def main(argv=None):
     if opt.device_augment and hasattr(dataset_train, "host_augment"):
         dataset_train.host_augment = False
     # eval for the student path is RGB-only regardless of teacher shape
-    train_loader = DataLoader(dataset_train, opt.batch_size, shuffle=True,
-                              drop_last=len(dataset_train) > opt.batch_size,
-                              num_workers=opt.workers, seed=common.MANUAL_SEED)
+    train_loader = common.make_train_loader(dataset_train, opt)
     eval_loader = DataLoader(dataset_eval, opt.batch_size, shuffle=False,
                              num_workers=opt.workers, seed=common.MANUAL_SEED)
 

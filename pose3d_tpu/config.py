@@ -35,6 +35,7 @@ class DataConfig:
     random: bool = False
     random_range: int = 0
     workers: int = 4
+    loader: str = "thread"  # thread | shm (data/shm_loader.py process workers)
 
 
 @dataclass

@@ -59,6 +59,19 @@ def test_teacher_training_then_kd_then_eval(data_root, tmp_path):
     assert os.path.isdir(os.path.join(kd_dir, "ckpt", "checkpoint"))
 
 
+def test_teacher_training_shm_loader(data_root, tmp_path):
+    """Same 1-epoch teacher run through the shared-memory process loader."""
+    from pose3d_tpu.cli import training
+
+    result_dir = str(tmp_path / "result_shm")
+    training.main(_common_args(data_root, result_dir) + [
+        "--n_epoch", "1", "--decrease", "1", "--loader", "shm",
+        "--workers", "1"])
+    run_dir = os.path.join(os.getcwd(), result_dir, "PointCloud_ObjectNet3D")
+    log = open(os.path.join(run_dir, "training_log.txt")).read()
+    assert "val_acc" in log
+
+
 def test_stage1_and_stage2_dispatch(data_root, tmp_path):
     """--stage 1 (joint teacher+learner) and --stage 2 (response KD) run end
     to end through the CLI dispatch (trainingKD.py:280-287 parity)."""

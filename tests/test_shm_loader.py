@@ -1,0 +1,91 @@
+"""ShmDataLoader (shared-memory process workers) vs the thread DataLoader:
+identical batches, identical padding, zero-copy mode, worker error surfacing."""
+
+import numpy as np
+import pytest
+
+from pose3d_tpu.data import datasets, loader, shm_loader, synthetic
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("objectnet3d_shm"))
+    synthetic.make_objectnet3d_fixture(root, n_train_per_cat=6, n_val_per_cat=4)
+    return root
+
+
+def _contrast_train(fixture_root):
+    return datasets.Pascal3DContrast(
+        fixture_root, "ObjectNet3D.txt", train=True, shape="PointCloud",
+        shape_dir="pointcloud", point_num=50, input_dim=32,
+    )
+
+
+def test_shm_matches_thread_loader(fixture_root):
+    ds = _contrast_train(fixture_root)
+    kw = dict(batch_size=4, shuffle=True, seed=7)
+    ref = list(loader.DataLoader(ds, num_workers=0, **kw))
+    with shm_loader.ShmDataLoader(ds, num_workers=2, **kw) as dl:
+        got = list(dl)
+    assert len(got) == len(ref) == len(dl)
+    for b_ref, b_got in zip(ref, got):
+        assert set(b_ref.keys()) == set(b_got.keys())
+        for k in b_ref:
+            np.testing.assert_array_equal(b_ref[k], b_got[k], err_msg=k)
+
+
+def test_shm_padding_and_epochs(fixture_root):
+    ds = datasets.Pascal3DContrast(
+        fixture_root, "ObjectNet3D.txt", train=False, shape=None, input_dim=32,
+    )
+    with shm_loader.ShmDataLoader(ds, batch_size=3, shuffle=True,
+                                  num_workers=2, seed=1) as dl:
+        e0 = list(dl)
+        assert sum(int(b["valid"].sum()) for b in e0) == len(ds)
+        assert e0[-1]["valid"].sum() < 3  # ragged tail padded
+        dl.set_epoch(1)
+        e1 = list(dl)  # workers persist across epochs
+        assert sum(int(b["valid"].sum()) for b in e1) == len(ds)
+        # different shuffle order across epochs
+        assert any(not np.array_equal(a["label"], b["label"])
+                   for a, b in zip(e0, e1))
+
+
+def test_shm_zero_copy_mode(fixture_root):
+    ds = _contrast_train(fixture_root)
+    kw = dict(batch_size=4, shuffle=False, seed=3)
+    ref = list(loader.DataLoader(ds, num_workers=0, **kw))
+    with shm_loader.ShmDataLoader(ds, num_workers=2, copy=False, **kw) as dl:
+        for b_ref, b_got in zip(ref, dl):
+            # consume immediately (the documented zero-copy contract)
+            for k in b_ref:
+                np.testing.assert_array_equal(b_ref[k], np.array(b_got[k]),
+                                              err_msg=k)
+
+
+def test_shm_drop_last(fixture_root):
+    ds = datasets.Pascal3DContrast(
+        fixture_root, "ObjectNet3D.txt", train=False, shape=None, input_dim=32,
+    )
+    with shm_loader.ShmDataLoader(ds, batch_size=3, shuffle=False,
+                                  num_workers=1, drop_last=True) as dl:
+        batches = list(dl)
+    assert len(batches) == len(ds) // 3
+    assert all(b["valid"].all() for b in batches)
+
+
+class _BrokenDataset:
+    def __len__(self):
+        return 8
+
+    def get(self, idx, rng):
+        if idx >= 4:
+            raise ValueError("boom")
+        return {"x": np.zeros(2, np.float32)}
+
+
+def test_shm_worker_error_propagates():
+    dl = shm_loader.ShmDataLoader(_BrokenDataset(), batch_size=4,
+                                  shuffle=False, num_workers=1)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(dl)
