@@ -103,6 +103,46 @@ def test_fewshot_training_runs(data_root, tmp_path):
     assert "training set: 4" in log
 
 
+def test_shapenet_to_pix3d_train_eval(tmp_path):
+    """Synthetic-train/real-eval protocol (SURVEY.md §2a #4): train on
+    ShapeNet composites over SUN backgrounds, evaluate on Pix3D — the full
+    train->ckpt->testing chain at the native 224px ShapeNet crop size."""
+    import numpy as np
+
+    from pose3d_tpu.cli import testing, training
+    from pose3d_tpu.data import synthetic
+
+    data_root = str(tmp_path / "data")
+    synthetic.make_shapenet_fixture(os.path.join(data_root, "ShapeNetCore"),
+                                    os.path.join(data_root, "SUN"),
+                                    image_size=240)
+    synthetic.make_pix3d_eval_fixture(os.path.join(data_root, "Pix3D"))
+    test_root = str(tmp_path / "test_data")
+    synthetic.make_pix3d_fixture(os.path.join(test_root, "Pix3D"), n_per_cat=2)
+
+    result_dir = str(tmp_path / "result")
+    training.main([
+        "--dataset", "ShapeNetCore", "--shape", "None", "--data_root",
+        data_root, "--batch_size", "2", "--workers", "0",
+        "--img_feature_dim", "32", "--n_epoch", "1", "--decrease", "1",
+        "--result_dir", result_dir,
+    ])
+    run_dir = os.path.join(os.getcwd(), result_dir, "baseline_ShapeNetCore")
+    assert "val_acc" in open(os.path.join(run_dir, "training_log.txt")).read()
+    ckpt = os.path.join(run_dir, "ckpt", "checkpoint")
+    assert os.path.isdir(ckpt)
+
+    # evaluate the ShapeNet-trained student on Pix3D via the testing CLI
+    out_dir = str(tmp_path / "preds")
+    result = testing.main([
+        "--dataset", "Pix3D", "--shape", "None", "--data_root", test_root,
+        "--batch_size", "2", "--workers", "0", "--img_feature_dim", "32",
+        "--model", ckpt, "--output_dir", out_dir,
+    ])
+    assert np.isfinite(result.sample_med)
+    assert os.path.exists(os.path.join(out_dir, "testing_log.txt"))
+
+
 def test_testing_cli_linemod(tmp_path):
     from pose3d_tpu.cli import testing
     from pose3d_tpu.data import synthetic
