@@ -145,6 +145,7 @@ class ShmDataLoader:
         self.process_count = process_count
         self._started = False
         self._closed = False
+        self._outstanding = 0  # tasks submitted but not yet acknowledged
 
     # -- identical index stream to loader.DataLoader ------------------------
     def set_epoch(self, epoch: int) -> None:
@@ -225,10 +226,21 @@ class ShmDataLoader:
             pass
 
     # -- iteration -----------------------------------------------------------
+    def _drain_stale(self) -> None:
+        """Wait out tasks left in flight by an abandoned iteration — they may
+        still be writing into slots this iteration is about to reuse."""
+        while self._outstanding > 0:
+            msg = self._result_q.get()
+            self._outstanding -= 1
+            if msg[0] == "error":
+                self.close()
+                raise RuntimeError(f"ShmDataLoader worker failed:\n{msg[1]}")
+
     def __iter__(self) -> Iterator[dict[str, Any]]:
         if self._closed:
             raise RuntimeError("loader is closed")
         self._start()
+        self._drain_stale()
         indices = self._indices()
         bs = self.batch_size
         starts = [s for s in range(0, len(indices), bs)
@@ -246,12 +258,14 @@ class ShmDataLoader:
                 chunk = indices[starts[next_task] : starts[next_task] + bs]
                 self._task_q.put((next_task, slot, self.seed, self.epoch,
                                   np.asarray(chunk, np.int64)))
+                self._outstanding += 1
                 next_task += 1
 
         submit()
         for seq in range(len(starts)):
             while seq not in done:
                 msg = self._result_q.get()
+                self._outstanding -= 1
                 if msg[0] == "error":
                     self.close()
                     raise RuntimeError(f"ShmDataLoader worker failed:\n{msg[1]}")

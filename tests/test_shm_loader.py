@@ -63,6 +63,22 @@ def test_shm_zero_copy_mode(fixture_root):
                                               err_msg=k)
 
 
+def test_shm_abandoned_iteration_then_restart(fixture_root):
+    """Breaking out mid-epoch must not let stale in-flight tasks corrupt the
+    slots the next iteration reuses (drain-on-iter contract)."""
+    ds = _contrast_train(fixture_root)
+    kw = dict(batch_size=4, shuffle=True, seed=7)
+    ref = list(loader.DataLoader(ds, num_workers=0, **kw))
+    with shm_loader.ShmDataLoader(ds, num_workers=2, **kw) as dl:
+        for _ in dl:  # take ONE batch, abandon the rest in flight
+            break
+        got = list(dl)  # restart the same epoch
+    assert len(got) == len(ref)
+    for b_ref, b_got in zip(ref, got):
+        for k in b_ref:
+            np.testing.assert_array_equal(b_ref[k], b_got[k], err_msg=k)
+
+
 def test_shm_drop_last(fixture_root):
     ds = datasets.Pascal3DContrast(
         fixture_root, "ObjectNet3D.txt", train=False, shape=None, input_dim=32,
