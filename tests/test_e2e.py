@@ -90,6 +90,25 @@ def test_stage1_and_stage2_dispatch(data_root, tmp_path):
     assert log.count("Student Epoch") >= 2
 
 
+def test_teacher_resume_from_checkpoint(data_root, tmp_path, capsys):
+    """Crash-recovery path (SURVEY.md §5 failure detection/resume): a second
+    invocation with --resume restores the latest orbax checkpoint and
+    continues from the next epoch instead of restarting from scratch."""
+    from pose3d_tpu.cli import training
+
+    result_dir = str(tmp_path / "result_resume")
+    args = _common_args(data_root, result_dir) + ["--decrease", "5"]
+    training.main(args + ["--n_epoch", "1"])
+    capsys.readouterr()
+    training.main(args + ["--n_epoch", "2", "--resume"])
+    out = capsys.readouterr().out
+    assert "resumed from epoch 0" in out
+    run_dir = os.path.join(os.getcwd(), result_dir, "PointCloud_ObjectNet3D")
+    log = open(os.path.join(run_dir, "training_log.txt")).read()
+    # epoch 1 trained exactly once, by the resumed run
+    assert log.count("Epoch: 001") == 1
+
+
 def test_fewshot_training_runs(data_root, tmp_path):
     """--shot K samples K train images per class (BASELINE config 5)."""
     from pose3d_tpu.cli import training
