@@ -248,7 +248,12 @@ class Pascal3DContrast(_PascalBase):
                         contrast=True)
         label_c = T.process_viewpoint_label(label, self.offset)
         sample = {"im": arr, "label": label_c.astype(np.int32), "cat_id": cat_id}
-        if self.shape == "PointCloud":
+        # reference defect fixed (not replicated): dataset.py:602-603 returns
+        # only (im, label) for MultiView val, but evaluation.val(shape=
+        # 'MultiView') unpacks 3 items (evaluation.py:23-24) — the reference
+        # MV-teacher eval path crashes. We emit the renders at val for every
+        # non-None shape so teacher evaluation works for both encoders.
+        if self.shape is not None:
             sample["shape"] = self._load_shape(cat, cad_index, 0, rng)
         return sample
 

@@ -90,6 +90,30 @@ def test_stage1_and_stage2_dispatch(data_root, tmp_path):
     assert log.count("Student Epoch") >= 2
 
 
+def test_teacher_training_multiview(tmp_path):
+    """MultiView teacher regime (reference --shape MultiView): renders ring
+    loader -> ShapeEncoderMV -> DeformNet fusion, 1 epoch through the CLI."""
+    from pose3d_tpu.cli import training
+
+    data_root = str(tmp_path / "data")
+    synthetic.make_objectnet3d_fixture(
+        os.path.join(data_root, "ObjectNet3D"), n_train_per_cat=4,
+        n_val_per_cat=2, with_renders=True, render_size=24)
+    result_dir = str(tmp_path / "result_mv")
+    training.main([
+        "--dataset", "ObjectNet3D", "--shape", "MultiView",
+        "--shape_dir", "Renders_semi_sphere", "--data_root", data_root,
+        "--batch_size", "4", "--workers", "0", "--input_dim", "64",
+        "--view_num", "4", "--tour", "2", "--img_feature_dim", "64",
+        "--shape_feature_dim", "16", "--n_epoch", "1", "--decrease", "1",
+        "--result_dir", result_dir,
+    ])
+    run_dir = os.path.join(os.getcwd(), result_dir, "MultiView_ObjectNet3D")
+    log = open(os.path.join(run_dir, "training_log.txt")).read()
+    assert "val_acc" in log
+    assert os.path.isdir(os.path.join(run_dir, "ckpt", "checkpoint"))
+
+
 def test_teacher_resume_from_checkpoint(data_root, tmp_path, capsys):
     """Crash-recovery path (SURVEY.md §5 failure detection/resume): a second
     invocation with --resume restores the latest orbax checkpoint and

@@ -74,6 +74,33 @@ def test_pose_estimator_arity_pointcloud():
     assert proj.shape == (2, 200)
 
 
+def test_pose_estimator_arity_multiview():
+    """MultiView teacher (reference model.py:103-150 + 206-272): renders
+    (N, K, H, W, 3) -> K per-view resnet18 features concatenated, fused with
+    the image feature through DeformNet."""
+    m = PoseEstimator(shape="MultiView", view_num=3, img_feature_dim=64,
+                      shape_feature_dim=32)
+    im = jnp.zeros(IMG)
+    mv = jnp.zeros((2, 3, 32, 32, 3))
+    v = _init(m, im, mv)
+    outputs, fused, proj = m.apply(v, im, mv, train=False)
+    assert len(outputs) == 6
+    assert fused.shape == (2, 200)
+    assert proj.shape == (2, 200)
+
+
+def test_shape_encoder_mv_shapes():
+    from pose3d_tpu.models.multiview import ShapeEncoderMV, ShapeEncoderMVRaw
+
+    mv = jnp.zeros((2, 3, 32, 32, 3))
+    flat = ShapeEncoderMV(feature_dim=16)
+    v = flat.init(jax.random.key(0), mv, train=False)
+    assert flat.apply(v, mv, train=False).shape == (2, 48)
+    raw = ShapeEncoderMVRaw(feature_dim=16)
+    v = raw.init(jax.random.key(0), mv, train=False)
+    assert raw.apply(v, mv, train=False).shape == (2, 3, 16)
+
+
 def test_pose_estimator_vanilla_two_tuple():
     m = PoseEstimatorVanilla(shape="PointCloud", img_feature_dim=1024, shape_feature_dim=256)
     im = jnp.zeros(IMG)
