@@ -235,6 +235,28 @@ def test_testing_cli_teacher_pointcloud(data_root, tmp_path):
     assert os.path.exists(os.path.join(out_dir, "testing_log.txt"))
 
 
+def test_testing_cli_teacher_multiview(tmp_path):
+    """Per-category eval sweep for a MultiView teacher — exercises the
+    render-emitting contrast-val path (the reference crashes here)."""
+    from pose3d_tpu.cli import testing
+    from pose3d_tpu.data import synthetic
+
+    data_root = str(tmp_path / "data")
+    synthetic.make_objectnet3d_fixture(
+        os.path.join(data_root, "ObjectNet3D"), n_train_per_cat=2,
+        n_val_per_cat=2, with_renders=True, render_size=24)
+    out_dir = str(tmp_path / "preds_mv")
+    result = testing.main([
+        "--dataset", "ObjectNet3D", "--shape", "MultiView", "--shape_dir",
+        "Renders_semi_sphere", "--data_root", data_root, "--batch_size", "4",
+        "--workers", "0", "--input_dim", "64", "--view_num", "4", "--tour",
+        "2", "--img_feature_dim", "64", "--shape_feature_dim", "16",
+        "--output_dir", out_dir,
+    ])
+    assert 0.0 <= result.mean_acc <= 100.0
+    assert os.path.exists(os.path.join(out_dir, "testing_log.txt"))
+
+
 def test_testing_cli_student(data_root, tmp_path):
     from pose3d_tpu.cli import testing
 
