@@ -188,6 +188,64 @@ def build_train_eval_datasets(opt, contrast_eval: bool = False):
     return dataset_train, dataset_eval
 
 
+def build_kd_datasets(opt):
+    """Dataset selection for the KD CLI, mirroring trainingKD.py:148-200.
+
+    The 3-view regimes (--contrast / --crd / --stage 2) train and evaluate on
+    Pascal3DContrast (7-key samples); --stage 1 trains on plain Pascal3D
+    (blur/crop/flip/rot aug, 3-key samples) and evaluates on plain Pascal3D —
+    the reference does this on BOTH datasets (trainingKD.py:153/161 for
+    ObjectNet3D, 171/179 for Pascal3D).
+
+    One documented deviation: the reference's Pascal3D branch builds the
+    contrast dataset only for --contrast/--crd (trainingKD.py:171), so its
+    `--dataset Pascal3D --stage 2` crashes unpacking the 7-tuple
+    (base_class.py:605-607). Stage 2 needs the 3-view batch by construction,
+    so here stage 2 selects Pascal3DContrast on both datasets (defect fixed,
+    not replicated — SURVEY.md §7 "reference defects").
+
+    The reference passes `random=opt.random` to Pascal3DContrast, but the
+    class stores and never uses it (mutation is pinned 0 in its __getitem__,
+    dataset.py:588) — our Pascal3DContrast omits the dead parameter.
+    """
+    root_dir = os.path.join(opt.data_root, opt.dataset)
+    annotation_file = f"{opt.dataset}.txt"
+    common = dict(shape=opt.shape, shape_dir=opt.shape_dir, view_num=opt.view_num,
+                  tour=opt.tour, input_dim=opt.input_dim, point_num=opt.point_num)
+    three_view = opt.contrast or opt.crd or opt.stage == 2
+
+    if opt.dataset in ("ObjectNet3D", "Pascal3D"):
+        if opt.dataset == "ObjectNet3D":
+            cats = OBJECTNET3D_TEST_CATS
+            extra = dict(keypoint=opt.keypoint)
+        else:
+            cats = ["bus", "motorbike"] if opt.novel else None
+            extra = {}
+        if three_view:
+            dataset_train = datasets.Pascal3DContrast(
+                root_dir, annotation_file, train=True, cat_choice=cats,
+                novel=opt.novel, random_range=opt.random_range,
+                shot=opt.shot if opt.dataset == "ObjectNet3D" else None,
+                seed=MANUAL_SEED, **extra, **common)
+            dataset_eval = datasets.Pascal3DContrast(
+                root_dir, annotation_file, train=False, cat_choice=cats,
+                novel=opt.novel, **extra, **common)
+        else:  # stage 1
+            dataset_train = datasets.Pascal3D(
+                root_dir, annotation_file, train=True, cat_choice=cats,
+                novel=opt.novel, random=opt.random,
+                random_range=opt.random_range, **extra, **common)
+            dataset_eval = datasets.Pascal3D(
+                root_dir, annotation_file, train=False, cat_choice=cats,
+                novel=opt.novel, random=False, **extra, **common)
+        return dataset_train, dataset_eval
+    if opt.dataset == "ShapeNetCore":
+        # same synthetic-train/real-eval pair as the teacher CLI
+        # (trainingKD.py:187-198 == training.py:227-239)
+        return build_train_eval_datasets(opt)
+    raise SystemExit(f"unsupported KD training dataset {opt.dataset}")
+
+
 def make_dp_mesh(opt):
     from pose3d_tpu.parallel import make_mesh
 

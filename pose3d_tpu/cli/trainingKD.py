@@ -93,8 +93,9 @@ def main(argv=None):
     opt = parse_args(argv)
     print(opt)
 
-    dataset_train, dataset_eval = common.build_train_eval_datasets(
-        opt, contrast_eval=True)
+    # regime-dependent dataset pair (trainingKD.py:148-200): Contrast for the
+    # 3-view regimes, plain Pascal3D for stage 1 — see common.build_kd_datasets
+    dataset_train, dataset_eval = common.build_kd_datasets(opt)
     if opt.device_augment and hasattr(dataset_train, "host_augment"):
         dataset_train.host_augment = False
     # eval for the student path is RGB-only regardless of teacher shape

@@ -32,8 +32,14 @@ def make_objectnet3d_fixture(
     n_renders: int = 216,
     render_size: int = 32,
     seed: int = 0,
+    dataset_name: str = "ObjectNet3D",
 ) -> str:
-    """Build the tree and return the annotation filename."""
+    """Build the tree and return the annotation filename.
+
+    dataset_name="Pascal3D" emits the same tree with a Pascal3D.txt
+    annotation file (Pascal3D+ and ObjectNet3D share the loader; only the
+    ObjectNet3D.txt-gated keypoint filters and azimuth wrap differ —
+    reference dataset.py:177-185)."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "Images"), exist_ok=True)
 
@@ -69,7 +75,7 @@ def make_objectnet3d_fixture(
                 )
 
     frame = pd.DataFrame(rows)
-    annotation_file = "ObjectNet3D.txt"
+    annotation_file = f"{dataset_name}.txt"
     frame.to_csv(os.path.join(root, annotation_file), index=False)
 
     for cat in categories:

@@ -285,3 +285,70 @@ def test_pix3d_contrast_pose_batch(tmp_path):
     s = ds.get(5, np.random.default_rng(0))
     assert s["im"].shape == (32, 32, 3)
     assert "im_pos" in s and "cls_index" in s
+
+
+# -------------------- KD CLI dataset-regime selection -----------------------
+
+
+def _kd_opt(data_root, dataset, **over):
+    from pose3d_tpu.cli import trainingKD
+
+    args = ["--dataset", dataset, "--shape", "PointCloud", "--shape_dir",
+            "pointcloud", "--data_root", data_root, "--input_dim", "32",
+            "--point_num", "16"]
+    for k, v in over.items():
+        args.append(f"--{k}")
+        if v is not True:
+            args.append(str(v))
+    return trainingKD.parse_args(args)
+
+
+@pytest.fixture(scope="module")
+def pascal3d_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kd_roots"))
+    synthetic.make_objectnet3d_fixture(
+        os.path.join(root, "Pascal3D"), n_train_per_cat=3, n_val_per_cat=2,
+        image_size=48, dataset_name="Pascal3D")
+    synthetic.make_objectnet3d_fixture(
+        os.path.join(root, "ObjectNet3D"), n_train_per_cat=3, n_val_per_cat=2,
+        image_size=48)
+    return root
+
+
+def test_kd_dataset_regimes(pascal3d_root):
+    """build_kd_datasets mirrors trainingKD.py:148-200: Contrast for the
+    3-view regimes (--contrast/--crd/--stage 2), plain Pascal3D for stage 1,
+    on both ObjectNet3D and Pascal3D."""
+    from pose3d_tpu.cli import common as cli_common
+
+    for name in ("ObjectNet3D", "Pascal3D"):
+        for over, want in (
+            (dict(crd=True), datasets.Pascal3DContrast),
+            (dict(contrast=True), datasets.Pascal3DContrast),
+            (dict(stage=2), datasets.Pascal3DContrast),
+            (dict(stage=1), datasets.Pascal3D),
+        ):
+            tr, ev = cli_common.build_kd_datasets(_kd_opt(pascal3d_root, name, **over))
+            assert type(tr) is want, (name, over)
+            assert type(ev) is want, (name, over)
+            # 3-view regimes emit the 7-key contrast sample; stage 1 the
+            # plain 3-key sample (reference base_class.py:341 vs 489)
+            s = tr.get(0, np.random.default_rng(0))
+            if want is datasets.Pascal3DContrast:
+                assert {"im", "im_flip", "im_rot", "shape"} <= set(s)
+            else:
+                assert "im_flip" not in s and {"im", "shape", "label"} <= set(s)
+
+
+def test_kd_pascal3d_crd_batch_has_three_views(pascal3d_root):
+    """The round-1 defect: --dataset Pascal3D --crd built plain Pascal3D and
+    crashed on the missing im_flip key at trace time (VERDICT.md missing #2)."""
+    from pose3d_tpu.cli import common as cli_common
+
+    opt = _kd_opt(pascal3d_root, "Pascal3D", crd=True)
+    tr, _ = cli_common.build_kd_datasets(opt)
+    dl = loader.DataLoader(tr, batch_size=2, shuffle=False, num_workers=0)
+    batch = next(iter(dl))
+    for k in ("im", "im_flip", "im_rot", "label", "label_flip", "label_rot",
+              "shape"):
+        assert k in batch, k
