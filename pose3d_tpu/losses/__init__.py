@@ -10,6 +10,7 @@ from pose3d_tpu.losses.binned import (
 from pose3d_tpu.losses.nce import (
     info_nce,
     info_nce_kd,
+    info_nce_kd_per_sample,
     pose_nce,
     pose_nce_kd,
     single_info_nce_kd,
@@ -39,6 +40,7 @@ __all__ = [
     "smooth_l1",
     "info_nce",
     "info_nce_kd",
+    "info_nce_kd_per_sample",
     "pose_nce",
     "pose_nce_kd",
     "single_info_nce_kd",

@@ -119,20 +119,22 @@ def pose_nce_kd(
     return _weighted_nce(pos, neg, dist)
 
 
-def info_nce_kd(
+def info_nce_kd_per_sample(
     feat_ori: jnp.ndarray,
     feat_pos: jnp.ndarray,
     tau: float = 0.1,
     dropout_rng: jax.Array | None = None,
     dropout_rate: float = 0.3,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """The contrastive loss actually used by the main recipes
-    (model_utils.py:263-285).
+    """Per-sample info_nce_kd losses (N,), exactly the reference's row terms
+    before its batch mean (model_utils.py:263-285).
 
-    Student/query features `feat_ori`, teacher/key features `feat_pos`.
-    Teacher features get dropout p=0.3 with `training=True` unconditionally in
-    the reference (model_utils.py:268) — pass `dropout_rng` to reproduce; pass
-    None for the deterministic expectation (useful in tests/eval).
+    `valid` (bool, (N,)) masks PADDED rows out of the negative pool: a padded
+    duplicate row must not appear as a key/negative in any real row's
+    denominator (ragged val tails are padded by the loader — the caller also
+    drops padded rows from the returned vector before reducing). With
+    valid=None this is the dense in-batch loss.
     """
     if dropout_rng is not None and dropout_rate > 0.0:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, feat_pos.shape)
@@ -141,7 +143,39 @@ def info_nce_kd(
     feat_pos = _l2_normalize(feat_pos)
     pos = jnp.sum(feat_ori * feat_pos, axis=-1) / tau
     neg = (feat_ori @ feat_pos.T) / tau
-    return _weighted_nce(pos, neg, None)
+    all_logits = jnp.concatenate([pos[:, None], neg], axis=-1)
+    m = jax.lax.stop_gradient(jnp.max(all_logits, axis=-1, keepdims=True))
+    exp_pos = jnp.exp(pos[:, None] - m)[:, 0]
+    exp_neg = jnp.exp(neg - m)
+    if valid is not None:
+        exp_neg = exp_neg * valid[None, :].astype(exp_neg.dtype)
+    denom = exp_pos + jnp.sum(exp_neg, axis=-1)
+    return -(jnp.log(exp_pos) - jnp.log(denom))
+
+
+def info_nce_kd(
+    feat_ori: jnp.ndarray,
+    feat_pos: jnp.ndarray,
+    tau: float = 0.1,
+    dropout_rng: jax.Array | None = None,
+    dropout_rate: float = 0.3,
+    valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """The contrastive loss actually used by the main recipes
+    (model_utils.py:263-285).
+
+    Student/query features `feat_ori`, teacher/key features `feat_pos`.
+    Teacher features get dropout p=0.3 with `training=True` unconditionally in
+    the reference (model_utils.py:268) — pass `dropout_rng` to reproduce; pass
+    None for the deterministic expectation (useful in tests/eval).
+    `valid` masks padded rows out of both the negative pool and the mean.
+    """
+    per = info_nce_kd_per_sample(feat_ori, feat_pos, tau, dropout_rng,
+                                 dropout_rate, valid)
+    if valid is None:
+        return jnp.mean(per)
+    v = valid.astype(per.dtype)
+    return jnp.sum(per * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
 def single_info_nce_kd(

@@ -58,9 +58,9 @@ def evaluate_categories(
     losses, nces, counts = [], [], []
 
     for batch in batches:
-        metrics = eval_step(variables, {k: v for k, v in batch.items()
-                                        if k in ("im", "shape", "label")})
         valid = np.asarray(batch.get("valid", np.ones(len(batch["label"]), bool)))
+        metrics = eval_step(variables, {k: v for k, v in batch.items()
+                                        if k in ("im", "shape", "label", "valid")})
         preds = np.asarray(metrics["pred"])[valid]
         labels = np.asarray(batch["label"])[valid]
         all_preds.append(preds)
@@ -71,7 +71,12 @@ def evaluate_categories(
             losses.append(float(np.sum(np.asarray(metrics["per_sample_loss"])[valid])))
         else:
             losses.append(float(metrics["loss"]) * valid.sum())
-        nces.append(float(metrics.get("nce_loss", 0.0)) * valid.sum())
+        if "per_sample_nce" in metrics:
+            # per-sample NCE with padded keys masked inside the step — padded
+            # rows contribute neither negatives nor mean mass
+            nces.append(float(np.sum(np.asarray(metrics["per_sample_nce"])[valid])))
+        else:
+            nces.append(float(metrics.get("nce_loss", 0.0)) * valid.sum())
         counts.append(valid.sum())
 
     preds = np.concatenate(all_preds)

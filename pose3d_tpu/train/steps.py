@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from pose3d_tpu import geometry
 from pose3d_tpu.losses import (
     info_nce_kd,
+    info_nce_kd_per_sample,
     kd_loss,
     kd_loss_with_features,
     pose_loss,
@@ -351,10 +352,13 @@ def make_eval_step(model, kind: str, bin_size: int = 15) -> Callable:
                    "per_sample_loss": per_sample}
         if fused is not None:
             # val_new's contrastive val loss (evaluation.py:86); the reference
-            # applies teacher-dropout even at val — reproduced with a fixed key
-            metrics["nce_loss"] = info_nce_kd(
+            # applies teacher-dropout even at val — reproduced with a fixed
+            # key. Padded tail rows are masked out of the negative pool so
+            # they cannot contaminate any real row's denominator; the caller
+            # drops them from the mean (per-sample, like the pose loss).
+            metrics["per_sample_nce"] = info_nce_kd_per_sample(
                 img_proj.astype(jnp.float32), fused.astype(jnp.float32), 0.1,
-                dropout_rng=jax.random.key(0),
+                dropout_rng=jax.random.key(0), valid=batch.get("valid"),
             )
         return metrics
 

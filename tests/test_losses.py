@@ -303,3 +303,26 @@ def test_losses_are_differentiable(rng):
     ):
         g = jax.grad(fn)(s)
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_info_nce_kd_padded_rows_masked():
+    """Padded duplicate rows must not contaminate the negative pool or the
+    mean: masked padded loss == dense loss on the valid slice (VERDICT r1
+    weak #5)."""
+    import jax.numpy as jnp
+
+    from pose3d_tpu.losses import info_nce_kd
+
+    rng = np.random.default_rng(3)
+    s = rng.standard_normal((5, 16)).astype(np.float32)
+    t = rng.standard_normal((5, 16)).astype(np.float32)
+    # pad 5 -> 8 by repeating the last row (what the loader does)
+    pad = lambda x: np.concatenate([x, np.repeat(x[-1:], 3, 0)])
+    valid = np.array([True] * 5 + [False] * 3)
+    dense = float(info_nce_kd(jnp.asarray(s), jnp.asarray(t), 0.1, dropout_rng=None))
+    masked = float(info_nce_kd(jnp.asarray(pad(s)), jnp.asarray(pad(t)), 0.1,
+                               dropout_rng=None, valid=jnp.asarray(valid)))
+    unmasked = float(info_nce_kd(jnp.asarray(pad(s)), jnp.asarray(pad(t)), 0.1,
+                                 dropout_rng=None))
+    assert masked == pytest.approx(dense, rel=1e-6)
+    assert unmasked != pytest.approx(dense, rel=1e-4)  # the old contamination
