@@ -1,0 +1,308 @@
+"""Cross-framework accuracy-parity harness (round-2 VERDICT item #1).
+
+Trains the REFERENCE torch `PoseEstimator_Vanilla` (imported read-only from
+/root/reference) and the pose3d_tpu `PoseEstimatorVanilla` on the SAME
+synthetic fixture, from the SAME initialization (torch init -> .pth ->
+flax importer), on the SAME batch stream (the deterministic pose3d_tpu
+loader feeds both sides), with the SAME optimizer (torch.optim.Adam(wd=5e-4)
+vs torch_style_adam) and the SAME 4-term pose loss
+(/root/reference/auxiliary/loss.py:7-44, reimplemented in torch below — the
+reference module itself calls .cuda() at import time and cannot be imported
+on a CUDA-less host, SURVEY.md §2b).
+
+Both sides are evaluated through pose3d_tpu.train.evaluate.evaluate_categories
+(the torch model is wrapped as an eval_step), so the Acc@pi/6 / MedErr
+reduction code (reference evaluation.py:131-140) is literally shared —
+any trajectory difference is model/optimizer numerics, not metric code.
+
+Checks produced:
+  * epoch-0 eval parity: identical weights must give identical per-sample
+    geodesic errors (the "imported-torch-weights eval == torch eval" claim);
+  * per-epoch train-loss and val Acc@pi/6 trajectories + deltas;
+  * a JSON report (+ markdown rows for docs/PARITY.md).
+
+Run:  python benchmarks/parity_run.py --epochs 6 --out /tmp/parity.json
+(CPU-forced by default: torch is CPU-only here, and CPU-vs-CPU keeps fp
+drift to roundoff. ~minutes on one core.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+
+def _force_cpu():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+# --------------------------------------------------------------------------
+# torch side: init scheme + pose loss (reference loss.py semantics) + step
+# --------------------------------------------------------------------------
+
+def _torch_kaiming_init(model):
+    """Reference KaiMingInit (auxiliary/utils.py:23-36): Conv2d
+    kaiming_normal(a=0.2), Linear normal(std=1e-3), zero biases."""
+    import torch
+
+    for m in model.modules():
+        if isinstance(m, (torch.nn.Conv2d, torch.nn.Conv1d)):
+            torch.nn.init.kaiming_normal_(m.weight, a=0.2)
+            if m.bias is not None:
+                torch.nn.init.zeros_(m.bias)
+        elif isinstance(m, torch.nn.Linear):
+            torch.nn.init.normal_(m.weight, std=1e-3)
+            if m.bias is not None:
+                torch.nn.init.zeros_(m.bias)
+
+
+def _torch_pose_loss(outputs, label, bin_size=15):
+    """CE on bin labels + SmoothL1 on in-bin deltas (loss.py:7-44)."""
+    import torch
+
+    ce = torch.nn.CrossEntropyLoss()
+    loss = (ce(outputs[0], (label[:, 0] // bin_size).long())
+            + ce(outputs[1], (label[:, 1] // bin_size).long())
+            + ce(outputs[2], (label[:, 2] // bin_size).long()))
+    target = label.float()
+    target_delta = (target % bin_size) / bin_size - 0.5
+    gt_bin = (label // bin_size).long()
+    deltas = []
+    for i, reg in enumerate(outputs[3:6]):
+        d = reg.gather(1, gt_bin[:, i:i + 1])[:, 0]
+        deltas.append(torch.tanh(d) / 2.0)
+    pred_delta = torch.stack(deltas, dim=1)
+    loss = loss + torch.nn.functional.smooth_l1_loss(5.0 * pred_delta,
+                                                     5.0 * target_delta)
+    return loss
+
+
+def _to_torch(batch):
+    import torch
+
+    im = torch.from_numpy(np.ascontiguousarray(
+        batch["im"].transpose(0, 3, 1, 2))).float()
+    shp = torch.from_numpy(np.ascontiguousarray(
+        batch["shape"].transpose(0, 2, 1))).float()
+    label = torch.from_numpy(batch["label"].astype(np.int64))
+    return im, shp, label
+
+
+def make_torch_eval_step(tmodel, bin_size=15):
+    """Wrap the torch model as an evaluate_categories eval_step so both
+    frameworks share the metric/reduction code exactly."""
+    import torch
+
+    import jax.numpy as jnp
+    from pose3d_tpu import geometry
+    from pose3d_tpu.losses import pose_loss_per_sample
+
+    def eval_step(_variables, batch):
+        tmodel.eval()
+        with torch.no_grad():
+            im, shp, _ = _to_torch({k: np.asarray(v) for k, v in batch.items()
+                                    if k in ("im", "shape", "label")} |
+                                   {"label": np.asarray(batch["label"])})
+            out, _ = tmodel(im, shp)
+            outs = [jnp.asarray(o.numpy().astype(np.float32)) for o in out]
+        preds = geometry.decode_predictions(tuple(outs[:3]), tuple(outs[3:]),
+                                            bin_size)
+        per = pose_loss_per_sample(outs, jnp.asarray(np.asarray(batch["label"])),
+                                   bin_size)
+        return {"pred": preds, "loss": jnp.mean(per), "per_sample_loss": per}
+
+    return eval_step
+
+
+# --------------------------------------------------------------------------
+# harness
+# --------------------------------------------------------------------------
+
+def run_parity(
+    epochs: int = 6,
+    n_train_per_cat: int = 24,
+    n_val_per_cat: int = 8,
+    batch_size: int = 8,
+    input_dim: int = 64,
+    point_num: int = 64,
+    img_feature_dim: int = 64,
+    shape_feature_dim: int = 32,
+    lr: float = 1e-4,
+    seed: int = 46,
+    data_root: str | None = None,
+    verbose: bool = True,
+) -> dict:
+    _force_cpu()
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from pose3d_tpu.data import synthetic
+    from pose3d_tpu.data.datasets import Pascal3D
+    from pose3d_tpu.data.loader import DataLoader
+    from pose3d_tpu.models import PoseEstimatorVanilla
+    from pose3d_tpu.train import create_train_state, steps, torch_style_adam
+    from pose3d_tpu.train.evaluate import evaluate_categories
+    from pose3d_tpu.train.torch_import import load_torch_variables
+
+    torch.manual_seed(seed)
+
+    tmp = None
+    if data_root is None:
+        tmp = tempfile.mkdtemp(prefix="parity_")
+        data_root = tmp
+    root = os.path.join(data_root, "ObjectNet3D")
+    if not os.path.exists(os.path.join(root, "ObjectNet3D.txt")):
+        synthetic.make_objectnet3d_fixture(
+            root, n_train_per_cat=n_train_per_cat, n_val_per_cat=n_val_per_cat,
+            image_size=max(96, input_dim), seed=seed)
+
+    common = dict(shape="PointCloud", shape_dir="pointcloud",
+                  input_dim=input_dim, point_num=point_num)
+    ds_train = Pascal3D(root, "ObjectNet3D.txt", train=True, **common)
+    ds_val = Pascal3D(root, "ObjectNet3D.txt", train=False, random=False, **common)
+    cats = ds_val.category_names
+
+    train_loader = DataLoader(ds_train, batch_size, shuffle=True,
+                              drop_last=True, num_workers=0, seed=seed)
+    val_loader = DataLoader(ds_val, batch_size, shuffle=False, num_workers=0,
+                            seed=seed)
+    val_batches = list(val_loader)  # fixed val stream shared by both sides
+
+    # ---- reference torch model, our init scheme, exported to the jax side
+    sys.path.insert(0, "/root/reference")
+    from auxiliary.model import PoseEstimator_Vanilla as TorchVanilla  # type: ignore
+
+    tmodel = TorchVanilla(img_feature_dim=img_feature_dim,
+                          shape_feature_dim=shape_feature_dim,
+                          shape="PointCloud")
+    _torch_kaiming_init(tmodel)
+    pth = os.path.join(data_root, "parity_init.pth")
+    torch.save({"model": tmodel.state_dict()}, pth)
+
+    jmodel = PoseEstimatorVanilla(shape="PointCloud",
+                                  img_feature_dim=img_feature_dim,
+                                  shape_feature_dim=shape_feature_dim)
+    im_ex = jnp.zeros((1, input_dim, input_dim, 3))
+    pc_ex = jnp.zeros((1, point_num, 3))
+    state = create_train_state(jmodel, (im_ex, pc_ex), jax.random.key(seed),
+                               torch_style_adam(lr, 5e-4))
+    variables = load_torch_variables(pth, {"params": state.params,
+                                           "batch_stats": state.batch_stats})
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+
+    topt = torch.optim.Adam(tmodel.parameters(), lr=lr, weight_decay=5e-4)
+    jstep = jax.jit(steps.make_vanilla_train_step(jmodel, has_shape=True))
+    jeval = jax.jit(steps.make_eval_step(jmodel, "vanilla"))
+    teval = make_torch_eval_step(tmodel)
+
+    def eval_both():
+        jvars = {"params": state.params, "batch_stats": state.batch_stats}
+        rj = evaluate_categories(jeval, jvars, iter(val_batches), cats)
+        rt = evaluate_categories(teval, None, iter(val_batches), cats)
+        return rt, rj
+
+    report = {"config": dict(epochs=epochs, batch_size=batch_size,
+                             n_train=len(ds_train), n_val=len(ds_val),
+                             input_dim=input_dim, lr=lr, seed=seed),
+              "epochs": []}
+
+    # ---- epoch-0: identical weights => identical eval (the exactness claim)
+    rt0, rj0 = eval_both()
+    err_gap0 = float(np.max(np.abs(rt0.errors - rj0.errors)))
+    report["epoch0"] = {
+        "torch_acc": rt0.sample_acc, "jax_acc": rj0.sample_acc,
+        "torch_med": rt0.sample_med, "jax_med": rj0.sample_med,
+        "max_err_gap_deg": err_gap0,
+    }
+    if verbose:
+        print(f"epoch 0 (identical init): torch acc {rt0.sample_acc:.2f} "
+              f"jax acc {rj0.sample_acc:.2f}  max per-sample err gap "
+              f"{err_gap0:.2e} deg")
+
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        batches = list(train_loader)
+
+        tmodel.train()
+        tlosses = []
+        for b in batches:
+            im, shp, label = _to_torch(b)
+            out, _ = tmodel(im, shp)
+            loss = _torch_pose_loss(out, label)
+            topt.zero_grad()
+            loss.backward()
+            topt.step()
+            tlosses.append(float(loss.detach()))
+
+        jlosses = []
+        for b in batches:
+            jb = {"im": jnp.asarray(b["im"]), "shape": jnp.asarray(b["shape"]),
+                  "label": jnp.asarray(b["label"])}
+            state, metrics = jstep(state, jb)
+            jlosses.append(float(metrics["loss"]))
+
+        rt, rj = eval_both()
+        row = {
+            "epoch": epoch,
+            "torch_train_loss": float(np.mean(tlosses)),
+            "jax_train_loss": float(np.mean(jlosses)),
+            "torch_val_acc": rt.sample_acc, "jax_val_acc": rj.sample_acc,
+            "torch_val_med": rt.sample_med, "jax_val_med": rj.sample_med,
+        }
+        row["train_loss_rel_gap"] = (
+            abs(row["torch_train_loss"] - row["jax_train_loss"])
+            / max(abs(row["torch_train_loss"]), 1e-9))
+        row["val_acc_gap"] = abs(row["torch_val_acc"] - row["jax_val_acc"])
+        report["epochs"].append(row)
+        if verbose:
+            print(f"epoch {epoch}: train loss torch {row['torch_train_loss']:.4f} "
+                  f"jax {row['jax_train_loss']:.4f} (rel gap "
+                  f"{row['train_loss_rel_gap']:.3%}) | val acc torch "
+                  f"{row['torch_val_acc']:.2f} jax {row['jax_val_acc']:.2f}")
+
+    last = report["epochs"][-1]
+    report["summary"] = {
+        "epoch0_max_err_gap_deg": err_gap0,
+        "final_train_loss_rel_gap": last["train_loss_rel_gap"],
+        "final_val_acc_gap": last["val_acc_gap"],
+        "max_val_acc_gap": max(r["val_acc_gap"] for r in report["epochs"]),
+    }
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=6)
+    p.add_argument("--n_train_per_cat", type=int, default=24)
+    p.add_argument("--n_val_per_cat", type=int, default=8)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--input_dim", type=int, default=64)
+    p.add_argument("--img_feature_dim", type=int, default=64)
+    p.add_argument("--shape_feature_dim", type=int, default=32)
+    p.add_argument("--out", type=str, default=None)
+    args = p.parse_args(argv)
+    report = run_parity(epochs=args.epochs, n_train_per_cat=args.n_train_per_cat,
+                        n_val_per_cat=args.n_val_per_cat,
+                        batch_size=args.batch_size, input_dim=args.input_dim,
+                        img_feature_dim=args.img_feature_dim,
+                        shape_feature_dim=args.shape_feature_dim)
+    print(json.dumps(report["summary"], indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"report written to {args.out}")
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Cross-framework accuracy-parity harness test (round-2 VERDICT item #1).
+
+Trains the reference torch PoseEstimator_Vanilla and the pose3d_tpu
+PoseEstimatorVanilla from the SAME init (torch -> flax importer) on the SAME
+batch stream and asserts the Acc@pi/6 trajectories agree. With identical
+init + data + optimizer semantics the only divergence source is fp rounding,
+so the tolerances are tight:
+
+  * epoch-0 (identical weights): per-sample geodesic errors equal to <0.01
+    deg -> identical Acc/Med — the "imported-torch-weights eval matches the
+    torch eval exactly" claim;
+  * per-epoch train loss within 1% relative;
+  * val Acc@pi/6 within 5 points at every epoch (a single borderline sample
+    on the tiny fixture is 100/n_val = 4.2 points).
+"""
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def test_torch_vs_jax_training_trajectory():
+    from benchmarks.parity_run import run_parity
+
+    report = run_parity(epochs=3, n_train_per_cat=8, n_val_per_cat=6,
+                        batch_size=4, input_dim=48, point_num=48,
+                        img_feature_dim=48, shape_feature_dim=24,
+                        verbose=False)
+    s = report["summary"]
+    assert report["epoch0"]["max_err_gap_deg"] < 1e-2
+    assert report["epoch0"]["torch_acc"] == report["epoch0"]["jax_acc"]
+    for row in report["epochs"]:
+        assert row["train_loss_rel_gap"] < 0.01, row
+        assert row["val_acc_gap"] <= 5.0, row
+    assert s["final_train_loss_rel_gap"] < 0.01
