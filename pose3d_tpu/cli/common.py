@@ -247,19 +247,22 @@ def build_kd_datasets(opt):
 
 
 def make_dp_mesh(opt):
+    """All-devices data-parallel mesh. A batch_size that doesn't divide the
+    device count is PADDED per step (trainer._device_batch + parallel/mesh
+    pad_batch: replicated rows marked invalid and masked out of BN stats,
+    losses, grads and metrics) rather than shrinking the mesh — the reference
+    KD recipe's bs=46 uses all 8 chips of a v4-8. Only when batch_size <
+    device count (padding would exceed the real work) does the mesh shrink
+    to batch_size devices."""
     from pose3d_tpu.parallel import make_mesh
 
     devices = jax.devices()
     if opt.n_devices is not None:
         devices = devices[: opt.n_devices]
-    # the per-host batch must divide evenly across the data axis; shrink to
-    # the largest divisor of batch_size rather than erroring
-    n = len(devices)
-    while n > 1 and opt.batch_size % n != 0:
-        n -= 1
+    n = min(len(devices), opt.batch_size)
     if n != len(devices):
         print(f"data-parallel mesh shrunk to {n} devices "
-              f"(batch_size {opt.batch_size} not divisible by {len(devices)})")
+              f"(batch_size {opt.batch_size} < {len(devices)} devices)")
     if n <= 1:
         return None
     return make_mesh(devices[:n])

@@ -75,11 +75,17 @@ def rotation_err(preds_deg: jnp.ndarray, targets_deg: jnp.ndarray) -> jnp.ndarra
 
 
 def rotation_acc(
-    preds_deg: jnp.ndarray, targets_deg: jnp.ndarray, threshold: float = 30.0
+    preds_deg: jnp.ndarray, targets_deg: jnp.ndarray, threshold: float = 30.0,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Acc@pi/6 (by default): 100 * mean(geodesic err <= threshold)."""
+    """Acc@pi/6 (by default): 100 * mean(geodesic err <= threshold).
+    `valid` (bool (N,)) masks padded batch rows out of the mean."""
     err = rotation_err(preds_deg, targets_deg)
-    return 100.0 * jnp.mean((err <= threshold).astype(jnp.float32))
+    hit = (err <= threshold).astype(jnp.float32)
+    if valid is None:
+        return 100.0 * jnp.mean(hit)
+    v = valid.astype(jnp.float32)
+    return 100.0 * jnp.sum(hit * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
 def angle_err(preds_deg: jnp.ndarray, targets_deg: jnp.ndarray) -> jnp.ndarray:

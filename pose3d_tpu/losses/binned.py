@@ -108,14 +108,27 @@ def smooth_cross_entropy_bin_loss(
     return label_smoothing_loss(logits, labels, smoothing)
 
 
+def masked_mean(per_sample: jnp.ndarray, valid: jnp.ndarray | None) -> jnp.ndarray:
+    """Mean over valid rows only; with valid=None, a plain mean. Padded rows
+    (parallel/mesh.pad_batch) contribute exactly zero to loss and grads."""
+    if valid is None:
+        return jnp.mean(per_sample)
+    v = valid.astype(per_sample.dtype)
+    return jnp.sum(per_sample * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+
 def pose_loss(
     outputs: list[jnp.ndarray],
     target_deg: jnp.ndarray,
     bin_size: int = 15,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """4-term viewpoint loss over the 6-head output list
     [cls_azi, cls_ele, cls_inp, reg_azi, reg_ele, reg_inp]
-    (training.py:50-54, base_class.py:141-145)."""
+    (training.py:50-54, base_class.py:141-145). `valid` (bool (N,)) masks
+    padded batch rows out of the mean."""
+    if valid is not None:
+        return masked_mean(pose_loss_per_sample(outputs, target_deg, bin_size), valid)
     loss_azi = cross_entropy_bin_loss(outputs[0], target_deg[:, 0], 360)
     loss_ele = cross_entropy_bin_loss(outputs[1], target_deg[:, 1], 180)
     loss_inp = cross_entropy_bin_loss(outputs[2], target_deg[:, 2], 360)

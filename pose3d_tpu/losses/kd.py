@@ -24,14 +24,20 @@ import jax.numpy as jnp
 
 
 def temperature_scaled_kl(
-    student_logits: jnp.ndarray, teacher_logits: jnp.ndarray, temperature: float = 1.0
+    student_logits: jnp.ndarray, teacher_logits: jnp.ndarray, temperature: float = 1.0,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """T^2 * batchmean KL(q || p), q=softmax(teacher/T), p=softmax(student/T)."""
+    """T^2 * batchmean KL(q || p), q=softmax(teacher/T), p=softmax(student/T).
+    `valid` (bool (N,)) masks padded batch rows out of the batchmean."""
     log_p = jax.nn.log_softmax(student_logits / temperature, axis=-1)
     log_q = jax.nn.log_softmax(teacher_logits / temperature, axis=-1)
     q = jnp.exp(log_q)
     kl_per_sample = jnp.sum(q * (log_q - log_p), axis=-1)
-    return (temperature**2) * jnp.mean(kl_per_sample)
+    if valid is None:
+        return (temperature**2) * jnp.mean(kl_per_sample)
+    v = valid.astype(kl_per_sample.dtype)
+    return (temperature**2) * (jnp.sum(kl_per_sample * v)
+                               / jnp.maximum(jnp.sum(v), 1.0))
 
 
 def gaussian_vid_loss(
@@ -48,11 +54,12 @@ def kd_loss(
     temperature: float = 1.0,
     gt_weight: float = 0.25,
     kl_weight: float = 0.75,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """0.25 * gt + 0.75 * sum over the 6 heads of temperature-scaled KL."""
     kl = jnp.asarray(0.0, dtype=jnp.float32)
     for s, t in zip(student_outputs, teacher_outputs):
-        kl = kl + temperature_scaled_kl(s, t, temperature)
+        kl = kl + temperature_scaled_kl(s, t, temperature, valid)
     return gt_weight * gt_loss + kl_weight * kl
 
 
@@ -66,12 +73,14 @@ def kd_loss_with_features(
     gt_weight: float = 0.25,
     kl_weight: float = 0.75,
     feature_weight: float = 0.75,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """`calculate_kd_loss_new` (vanilla_kd.py:143-164) — the `--crd` path."""
     kl = jnp.asarray(0.0, dtype=jnp.float32)
     for s, t in zip(student_outputs, teacher_outputs):
-        kl = kl + temperature_scaled_kl(s, t, temperature)
-    feat_kl = temperature_scaled_kl(student_features, teacher_features, temperature)
+        kl = kl + temperature_scaled_kl(s, t, temperature, valid)
+    feat_kl = temperature_scaled_kl(student_features, teacher_features, temperature,
+                                    valid)
     return gt_weight * gt_loss + kl_weight * kl + feature_weight * feat_kl
 
 

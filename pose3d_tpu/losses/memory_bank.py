@@ -61,18 +61,22 @@ def info_nce_memory(
     feat_teacher: jnp.ndarray,
     bank: MemoryBank,
     tau: float = 0.1,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """infoNCE_KD semantics with the negative pool extended by the queue:
     denom_i = exp(pos_i) + sum_j exp(<s_i, t_j>/tau) + sum_q exp(<s_i, q>/tau)
-    (unfilled queue slots are masked out)."""
+    (unfilled queue slots are masked out). `valid` (bool (N,)) masks padded
+    batch rows out of both the in-batch negative pool and the mean."""
     s = _l2_normalize(feat_student)
     t = _l2_normalize(feat_teacher)
     pos = jnp.sum(s * t, axis=-1) / tau
     neg_batch = (s @ t.T) / tau
+    if valid is not None:
+        neg_batch = jnp.where(valid[None, :], neg_batch, -jnp.inf)
     neg_queue = (s @ bank.queue.T) / tau
     k = bank.queue.shape[0]
-    valid = (jnp.arange(k) < bank.filled)[None, :]
+    filled = (jnp.arange(k) < bank.filled)[None, :]
     # mask invalid queue entries to -inf so their exp contribution is 0
-    neg_queue = jnp.where(valid, neg_queue, -jnp.inf)
+    neg_queue = jnp.where(filled, neg_queue, -jnp.inf)
     neg = jnp.concatenate([neg_batch, neg_queue], axis=-1)
-    return _weighted_nce(pos, neg, None)
+    return _weighted_nce(pos, neg, None, valid)

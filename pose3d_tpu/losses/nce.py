@@ -58,10 +58,13 @@ def _pairwise_pose_distance(labels_deg: jnp.ndarray, weighting: str) -> jnp.ndar
 
 
 def _weighted_nce(
-    pos_logit: jnp.ndarray, neg_logits: jnp.ndarray, neg_weights: jnp.ndarray | None
+    pos_logit: jnp.ndarray, neg_logits: jnp.ndarray, neg_weights: jnp.ndarray | None,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """loss_i = -log( exp(pos_i) / (exp(pos_i) + sum_j w_ij exp(neg_ij)) ),
-    computed stably. `pos_logit` (N,), `neg_logits` (N, N)."""
+    computed stably. `pos_logit` (N,), `neg_logits` (N, M). `valid` (bool (N,))
+    masks padded rows out of the mean (the caller masks padded COLUMNS out of
+    neg_logits/neg_weights itself, since M may exceed N, e.g. memory banks)."""
     all_logits = jnp.concatenate([pos_logit[:, None], neg_logits], axis=-1)
     m = jax.lax.stop_gradient(jnp.max(all_logits, axis=-1, keepdims=True))
     exp_pos = jnp.exp(pos_logit[:, None] - m)[:, 0]
@@ -70,7 +73,10 @@ def _weighted_nce(
         exp_neg = exp_neg * neg_weights
     denom = exp_pos + jnp.sum(exp_neg, axis=-1)
     loss = -(jnp.log(exp_pos) - jnp.log(denom))
-    return jnp.mean(loss)
+    if valid is None:
+        return jnp.mean(loss)
+    v = valid.astype(loss.dtype)
+    return jnp.sum(loss * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
 def info_nce(feat_ori: jnp.ndarray, feat_pos: jnp.ndarray, tau: float = 0.1) -> jnp.ndarray:

@@ -28,6 +28,20 @@ kaiming_leaky02 = variance_scaling(2.0 / (1.0 + 0.2**2), "fan_in", "truncated_no
 dense_init_1e3 = normal(stddev=1e-3)
 
 
+def bn_mask(mask: jnp.ndarray | None, x: jnp.ndarray) -> jnp.ndarray | None:
+    """Broadcast a per-sample validity mask (N,) to x's rank for
+    flax BatchNorm's `mask` argument, so PADDED batch rows are excluded
+    from the batch statistics (mean/var computed over valid rows only).
+
+    Used when the global batch is padded up to a device-count multiple
+    (parallel/mesh.pad_batch): with the mask, the padded run's BN stats —
+    and therefore every downstream activation of the valid rows — are
+    bit-identical to the unpadded batch's."""
+    if mask is None:
+        return None
+    return mask.reshape(mask.shape[:1] + (1,) * (x.ndim - 1))
+
+
 class ConvBN(nn.Module):
     """Conv + BatchNorm (+ optional ReLU) in NHWC.
 
@@ -47,7 +61,8 @@ class ConvBN(nn.Module):
     axis_name: str | None = None  # set for sync-BN across data shards (shard_map)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 mask: jnp.ndarray | None = None) -> jnp.ndarray:
         padding = self.padding
         if padding is None:
             padding = [((k - 1) // 2, (k - 1) // 2) for k in self.kernel_size]
@@ -68,7 +83,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             axis_name=self.axis_name if train else None,
-        )(x)
+        )(x, mask=bn_mask(mask, x) if train else None)
         if self.use_relu:
             x = nn.relu(x)
         return x
@@ -84,7 +99,8 @@ class DenseBNRelu(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 mask: jnp.ndarray | None = None) -> jnp.ndarray:
         x = nn.Dense(
             self.features,
             dtype=self.dtype,
@@ -99,7 +115,7 @@ class DenseBNRelu(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             axis_name=self.axis_name if train else None,
-        )(x)
+        )(x, mask=bn_mask(mask, x) if train else None)
         if self.use_relu:
             x = nn.relu(x)
         return x

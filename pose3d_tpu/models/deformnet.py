@@ -25,9 +25,11 @@ class DeformNet(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 mask: jnp.ndarray | None = None) -> jnp.ndarray:
         b = self.bottleneck_size
         for width in (b, b // 2, b // 4):
-            x = DenseBNRelu(width, dtype=self.dtype, axis_name=self.axis_name)(x, train)
+            x = DenseBNRelu(width, dtype=self.dtype,
+                            axis_name=self.axis_name)(x, train, mask)
         x = head_dense(self.out_dim, self.dtype)(x)
         return jnp.tanh(x)

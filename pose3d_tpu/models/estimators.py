@@ -67,20 +67,22 @@ class BaselineEstimator(nn.Module):
     width_mult: float = 1.0  # narrower-backbone extension (see models/vgg.py)
 
     @nn.compact
-    def __call__(self, im: jnp.ndarray, train: bool = True):
+    def __call__(self, im: jnp.ndarray, train: bool = True,
+                 mask: jnp.ndarray | None = None):
         img_feature = vgg11(num_classes=self.img_feature_dim, dtype=self.dtype,
                             axis_name=self.axis_name,
-                            width_mult=self.width_mult)(im, train)
+                            width_mult=self.width_mult)(im, train, mask)
 
         x = img_feature
         for width in (800, 400, 200):
-            x = DenseBNRelu(width, dtype=self.dtype, axis_name=self.axis_name)(x, train)
+            x = DenseBNRelu(width, dtype=self.dtype,
+                            axis_name=self.axis_name)(x, train, mask)
 
         outputs = _SixHeads(self.azi_classes, self.ele_classes, self.inp_classes,
                             self.dtype)(x)
 
         # projector: 200 -> 200 (BN+ReLU) -> 200
-        p = DenseBNRelu(200, dtype=self.dtype, axis_name=self.axis_name)(x, train)
+        p = DenseBNRelu(200, dtype=self.dtype, axis_name=self.axis_name)(x, train, mask)
         p = head_dense(200, self.dtype)(p)
         return outputs, p
 
@@ -100,22 +102,24 @@ class PoseEstimator(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, im: jnp.ndarray, shape: jnp.ndarray, train: bool = True):
+    def __call__(self, im: jnp.ndarray, shape: jnp.ndarray, train: bool = True,
+                 mask: jnp.ndarray | None = None):
         _, img_feature = resnet50(num_classes=self.img_feature_dim, dtype=self.dtype,
-                                  axis_name=self.axis_name)(im, train)
+                                  axis_name=self.axis_name)(im, train, mask)
 
         if self.shape == "PointCloud":
             shape_feature = ShapeEncoderPC(self.shape_feature_dim, dtype=self.dtype,
-                                           axis_name=self.axis_name)(shape, train)
+                                           axis_name=self.axis_name)(shape, train, mask)
             fused_dim = self.shape_feature_dim
         else:
             shape_feature = ShapeEncoderMV(self.shape_feature_dim, dtype=self.dtype,
-                                           axis_name=self.axis_name)(shape, train)
+                                           axis_name=self.axis_name)(shape, train, mask)
             fused_dim = self.shape_feature_dim * self.view_num
 
         global_feature = jnp.concatenate([shape_feature, img_feature], axis=-1)
         x = DeformNet(bottleneck_size=fused_dim + self.img_feature_dim,
-                      dtype=self.dtype, axis_name=self.axis_name)(global_feature, train)
+                      dtype=self.dtype,
+                      axis_name=self.axis_name)(global_feature, train, mask)
 
         outputs = _SixHeads(self.azi_classes, self.ele_classes, self.inp_classes,
                             self.dtype)(x)
@@ -123,7 +127,8 @@ class PoseEstimator(nn.Module):
         # projector: img_feature -> 800 -> 400 (BN+ReLU each) -> 200 (plain)
         p = img_feature
         for width in (800, 400):
-            p = DenseBNRelu(width, dtype=self.dtype, axis_name=self.axis_name)(p, train)
+            p = DenseBNRelu(width, dtype=self.dtype,
+                            axis_name=self.axis_name)(p, train, mask)
         p = head_dense(200, self.dtype)(p)
         return outputs, x, p
 
@@ -144,20 +149,22 @@ class PoseEstimatorVanilla(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, im: jnp.ndarray, shape: jnp.ndarray, train: bool = True):
+    def __call__(self, im: jnp.ndarray, shape: jnp.ndarray, train: bool = True,
+                 mask: jnp.ndarray | None = None):
         _, img_feature = resnet18(num_classes=self.img_feature_dim, dtype=self.dtype,
-                                  axis_name=self.axis_name)(im, train)
+                                  axis_name=self.axis_name)(im, train, mask)
 
         if self.shape == "PointCloud":
             shape_feature = ShapeEncoderPC(self.shape_feature_dim, dtype=self.dtype,
-                                           axis_name=self.axis_name)(shape, train)
+                                           axis_name=self.axis_name)(shape, train, mask)
         else:
             shape_feature = ShapeEncoderMV(self.shape_feature_dim, dtype=self.dtype,
-                                           axis_name=self.axis_name)(shape, train)
+                                           axis_name=self.axis_name)(shape, train, mask)
 
         x = jnp.concatenate([shape_feature, img_feature], axis=-1)
         for width in (800, 400, 200):
-            x = DenseBNRelu(width, dtype=self.dtype, axis_name=self.axis_name)(x, train)
+            x = DenseBNRelu(width, dtype=self.dtype,
+                            axis_name=self.axis_name)(x, train, mask)
 
         outputs = _SixHeads(self.azi_classes, self.ele_classes, self.inp_classes,
                             self.dtype)(x)

@@ -24,11 +24,14 @@ class ShapeEncoderMV(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, renders: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, renders: jnp.ndarray, train: bool = True,
+                 mask: jnp.ndarray | None = None) -> jnp.ndarray:
         n, k = renders.shape[0], renders.shape[1]
         x = renders.reshape((n * k,) + renders.shape[2:])
+        if mask is not None:  # fold the mask with the view axis: (N,) -> (N*K,)
+            mask = jnp.repeat(mask, k, axis=0)
         _, feat = resnet18(num_classes=self.feature_dim, dtype=self.dtype,
-                           axis_name=self.axis_name)(x, train)
+                           axis_name=self.axis_name)(x, train, mask)
         return feat.reshape(n, -1)
 
 
@@ -40,9 +43,12 @@ class ShapeEncoderMVRaw(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, renders: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, renders: jnp.ndarray, train: bool = True,
+                 mask: jnp.ndarray | None = None) -> jnp.ndarray:
         n, k = renders.shape[0], renders.shape[1]
         x = renders.reshape((n * k,) + renders.shape[2:])
+        if mask is not None:
+            mask = jnp.repeat(mask, k, axis=0)
         _, feat = resnet18(num_classes=self.feature_dim, dtype=self.dtype,
-                           axis_name=self.axis_name)(x, train)
+                           axis_name=self.axis_name)(x, train, mask)
         return feat.reshape(n, k, -1)

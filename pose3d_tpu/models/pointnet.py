@@ -18,7 +18,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pose3d_tpu.models.common import dense_init_1e3
+from pose3d_tpu.models.common import dense_init_1e3, bn_mask
 from jax.nn.initializers import zeros
 
 
@@ -30,14 +30,16 @@ class ShapeEncoderPC(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, points: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, points: jnp.ndarray, train: bool = True,
+                 mask: jnp.ndarray | None = None) -> jnp.ndarray:
         x = points
         for i, (width, relu) in enumerate(((64, True), (128, True), (self.feature_dim, False))):
             x = nn.Dense(width, dtype=self.dtype, param_dtype=jnp.float32,
                          kernel_init=dense_init_1e3, bias_init=zeros)(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                              dtype=self.dtype, param_dtype=jnp.float32,
-                             axis_name=self.axis_name if train else None)(x)
+                             axis_name=self.axis_name if train else None)(
+                x, mask=bn_mask(mask, x) if train else None)
             if relu:
                 x = nn.relu(x)
         return jnp.max(x, axis=1)  # global max over points -> (N, feature_dim)

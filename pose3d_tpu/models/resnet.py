@@ -30,16 +30,17 @@ class BasicBlock(nn.Module):
     expansion: int = 1
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 mask: jnp.ndarray | None = None) -> jnp.ndarray:
         residual = x
         y = ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype,
-                   axis_name=self.axis_name)(x, train)
+                   axis_name=self.axis_name)(x, train, mask)
         y = ConvBN(self.features, (3, 3), use_relu=False, dtype=self.dtype,
-                   axis_name=self.axis_name)(y, train)
+                   axis_name=self.axis_name)(y, train, mask)
         if residual.shape != y.shape:
             residual = ConvBN(self.features * self.expansion, (1, 1), self.strides,
                               use_relu=False, dtype=self.dtype,
-                              axis_name=self.axis_name)(x, train)
+                              axis_name=self.axis_name)(x, train, mask)
         return nn.relu(y + residual)
 
 
@@ -52,17 +53,19 @@ class Bottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 mask: jnp.ndarray | None = None) -> jnp.ndarray:
         residual = x
-        y = ConvBN(self.features, (1, 1), dtype=self.dtype, axis_name=self.axis_name)(x, train)
+        y = ConvBN(self.features, (1, 1), dtype=self.dtype,
+                   axis_name=self.axis_name)(x, train, mask)
         y = ConvBN(self.features, (3, 3), self.strides, dtype=self.dtype,
-                   axis_name=self.axis_name)(y, train)
+                   axis_name=self.axis_name)(y, train, mask)
         y = ConvBN(self.features * self.expansion, (1, 1), use_relu=False,
-                   dtype=self.dtype, axis_name=self.axis_name)(y, train)
+                   dtype=self.dtype, axis_name=self.axis_name)(y, train, mask)
         if residual.shape != y.shape:
             residual = ConvBN(self.features * self.expansion, (1, 1), self.strides,
                               use_relu=False, dtype=self.dtype,
-                              axis_name=self.axis_name)(x, train)
+                              axis_name=self.axis_name)(x, train, mask)
         return nn.relu(y + residual)
 
 
@@ -77,17 +80,19 @@ class ResNet(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True):
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 mask: jnp.ndarray | None = None):
         # stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool
         x = ConvBN(self.features, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-                   dtype=self.dtype, axis_name=self.axis_name)(x, train)
+                   dtype=self.dtype, axis_name=self.axis_name)(x, train, mask)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         for i, n_blocks in enumerate(self.stage_sizes):
             for j in range(n_blocks):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
                 x = self.block_cls(self.features * (2**i), strides,
-                                   dtype=self.dtype, axis_name=self.axis_name)(x, train)
+                                   dtype=self.dtype,
+                                   axis_name=self.axis_name)(x, train, mask)
 
         feat = jnp.mean(x, axis=(1, 2))  # global average pool -> (N, C)
         out = head_dense(self.num_classes, self.dtype)(feat)

@@ -16,7 +16,7 @@ from typing import Any, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pose3d_tpu.models.common import kaiming_leaky02, dense_init_1e3
+from pose3d_tpu.models.common import kaiming_leaky02, dense_init_1e3, bn_mask
 from jax.nn.initializers import zeros
 
 CFG = {
@@ -39,7 +39,8 @@ class VGG(nn.Module):
     # inference — the natural target of the KD pipeline (not in the reference)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 mask: jnp.ndarray | None = None) -> jnp.ndarray:
         for v in self.cfg:
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
@@ -53,7 +54,8 @@ class VGG(nn.Module):
                     x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                      epsilon=1e-5, dtype=self.dtype,
                                      param_dtype=jnp.float32,
-                                     axis_name=self.axis_name if train else None)(x)
+                                     axis_name=self.axis_name if train else None)(
+                        x, mask=bn_mask(mask, x) if train else None)
                 x = nn.relu(x)
 
         # classifier: flatten 7x7x512 -> 4096 -> 4096 -> num_classes

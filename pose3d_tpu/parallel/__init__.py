@@ -3,6 +3,8 @@ from pose3d_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    shard_host_local_batch,
+    pad_batch,
     replicate,
 )
 
@@ -11,5 +13,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "shard_host_local_batch",
+    "pad_batch",
     "replicate",
 ]

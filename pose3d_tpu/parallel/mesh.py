@@ -62,7 +62,70 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def shard_host_local_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
+    """Multi-process (multi-host) batch placement: every process passes the
+    rows ITS loader produced (pose3d_tpu.data.loader shards the dataset by
+    jax.process_index()), and the result is a global array whose leading axis
+    is the concatenation over processes, sharded over `axis`.
+
+    Single-process fallback is exactly `shard_batch`. This is the host data
+    parallelism of SURVEY.md §2c: each TPU host feeds only its local chips;
+    XLA's collectives (grad psum, NCE feature all-gather, sync-BN) then ride
+    ICI/DCN over the global batch."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh, axis)
+    sharding = batch_sharding(mesh, axis)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(put, batch)
+
+
+def pad_batch(
+    batch: dict, valid: np.ndarray, multiple: int
+) -> tuple[dict, np.ndarray]:
+    """Pad every array's leading axis up to the next multiple of `multiple`.
+
+    Padded rows replicate real samples (cyclically) and are marked invalid;
+    the train steps exclude them from BatchNorm statistics, every loss term,
+    gradients and metrics (steps._valid_of), so a padded run's numerics on the
+    valid rows are identical to the unpadded batch. This is how a global batch
+    that doesn't divide the device count (e.g. the reference KD recipe's
+    bs=46 on a v4-8) still uses EVERY chip instead of shrinking the mesh.
+    """
+    valid = np.asarray(valid, bool)
+    b = valid.shape[0]
+    pad = (-b) % multiple
+    if pad == 0:
+        return batch, valid
+    idx = np.arange(pad) % b
+    padded = {k: np.concatenate([np.asarray(v), np.asarray(v)[idx]])
+              for k, v in batch.items()}
+    return padded, np.concatenate([valid, np.zeros(pad, bool)])
+
+
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Works on multi-process (multi-host) global meshes too: device_put cannot
+    target non-addressable devices, so there each process materializes only
+    its addressable shards (every process must hold the same host values —
+    true for seeded inits and restored checkpoints)."""
     sharding = replicated_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        if hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key):
+            data = np.asarray(jax.random.key_data(x))
+            arr = jax.make_array_from_callback(data.shape, sharding,
+                                               lambda idx: data[idx])
+            return jax.random.wrap_key_data(arr, impl=jax.random.key_impl(x))
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sharding,
+                                            lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)

@@ -52,10 +52,21 @@ def _f32(tree):
     return jax.tree.map(lambda x: x.astype(jnp.float32), tree)
 
 
-def _train_metrics(outputs, labels, bin_size):
+def _train_metrics(outputs, labels, bin_size, valid=None):
     preds = geometry.decode_predictions(tuple(outputs[:3]), tuple(outputs[3:]), bin_size)
-    acc = geometry.rotation_acc(preds, labels.astype(jnp.float32))
+    acc = geometry.rotation_acc(preds, labels.astype(jnp.float32), valid=valid)
     return preds, acc
+
+
+def _valid_of(batch: Batch):
+    """Per-sample validity mask, or None when the batch carries none.
+
+    Padded rows (ragged tails / device-count padding, parallel/mesh.pad_batch)
+    are excluded from BatchNorm statistics (mask= on every BN), every loss
+    term and the accuracy — the step's numerics on the valid rows are then
+    identical to an unpadded run."""
+    v = batch.get("valid")
+    return None if v is None else v.astype(bool)
 
 
 # --------------------------------------------------------------------------
@@ -76,10 +87,12 @@ def make_teacher_train_step(
     with host_augment=False) and applies the photometric augs + normalize
     on-device (ops/augment.py) — the host-bottleneck fix."""
 
-    def _nce(img_proj, fused, nce_rng):
-        if not use_fused_nce:
+    def _nce(img_proj, fused, nce_rng, valid):
+        if not use_fused_nce or valid is not None:
+            # the fused kernel has no padded-row masking; valid batches route
+            # through the (mathematically identical) XLA path
             return info_nce_kd(img_proj, fused, nce_tau, dropout_rng=nce_rng,
-                               dropout_rate=nce_dropout)
+                               dropout_rate=nce_dropout, valid=valid)
         from pose3d_tpu.ops.nce_fused import fused_info_nce
 
         if nce_dropout > 0.0:
@@ -89,6 +102,7 @@ def make_teacher_train_step(
 
     def loss_fn(params, batch_stats, batch: Batch, rng):
         drop_rng, nce_rng, aug_rng = jax.random.split(rng, 3)
+        valid = _valid_of(batch)
         im = batch["im"]
         if device_augment:
             from pose3d_tpu.ops.augment import device_augment as _aug
@@ -96,15 +110,15 @@ def make_teacher_train_step(
             im = _aug(im, aug_rng)
         (outputs, fused, img_proj), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            im, batch["shape"], train=True,
+            im, batch["shape"], train=True, mask=valid,
             rngs={"dropout": drop_rng},
             mutable=["batch_stats"],
         )
         outputs = _f32(outputs)
         fused = fused.astype(jnp.float32)
         img_proj = img_proj.astype(jnp.float32)
-        gt = pose_loss(outputs, batch["label"], bin_size)
-        nce = _nce(img_proj, fused, nce_rng)
+        gt = pose_loss(outputs, batch["label"], bin_size, valid=valid)
+        nce = _nce(img_proj, fused, nce_rng, valid)
         loss = gt + nce_weight * nce
         return loss, (outputs, mutated["batch_stats"], gt, nce)
 
@@ -114,7 +128,7 @@ def make_teacher_train_step(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, rng)
         state = state.apply_gradients(grads, new_batch_stats=new_bs, new_rng=new_rng)
-        _, acc = _train_metrics(outputs, batch["label"], bin_size)
+        _, acc = _train_metrics(outputs, batch["label"], bin_size, _valid_of(batch))
         return state, {"loss": loss, "pose_loss": gt, "nce_loss": nce, "acc_rot": acc}
 
     return step
@@ -125,13 +139,15 @@ def make_teacher_train_step(
 # --------------------------------------------------------------------------
 def make_vanilla_train_step(model, has_shape: bool, bin_size: int = 15) -> Callable:
     def loss_fn(params, batch_stats, batch: Batch, rng):
+        valid = _valid_of(batch)
         args = (batch["im"], batch["shape"]) if has_shape else (batch["im"],)
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            *args, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+            *args, train=True, mask=valid,
+            rngs={"dropout": rng}, mutable=["batch_stats"],
         )
         outputs = _f32(out[0])
-        gt = pose_loss(outputs, batch["label"], bin_size)
+        gt = pose_loss(outputs, batch["label"], bin_size, valid=valid)
         return gt, (outputs, mutated["batch_stats"])
 
     def step(state, batch: Batch):
@@ -140,7 +156,7 @@ def make_vanilla_train_step(model, has_shape: bool, bin_size: int = 15) -> Calla
             state.params, state.batch_stats, batch, rng
         )
         state = state.apply_gradients(grads, new_batch_stats=new_bs, new_rng=new_rng)
-        _, acc = _train_metrics(outputs, batch["label"], bin_size)
+        _, acc = _train_metrics(outputs, batch["label"], bin_size, _valid_of(batch))
         return state, {"loss": loss, "acc_rot": acc}
 
     return step
@@ -163,6 +179,8 @@ def make_kd_crd_step(
     """
 
     def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng):
+        valid = _valid_of(batch)
+        valid3 = None if valid is None else jnp.concatenate([valid] * 3, axis=0)
         im = jnp.concatenate([batch["im"], batch["im_flip"], batch["im_rot"]], axis=0)
         label = jnp.concatenate(
             [batch["label"], batch["label_flip"], batch["label_rot"]], axis=0
@@ -176,7 +194,8 @@ def make_kd_crd_step(
 
         (s_out, s_feat), mutated = student_model.apply(
             {"params": params, "batch_stats": batch_stats},
-            im, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+            im, train=True, mask=valid3,
+            rngs={"dropout": rng}, mutable=["batch_stats"],
         )
         t_out, _, t_feat = teacher_model.apply(teacher_vars, im, shapes, train=False)
         # frozen teacher: identical update to the reference's
@@ -187,20 +206,20 @@ def make_kd_crd_step(
         s_out, t_out = _f32(s_out), _f32(t_out)
         s_feat, t_feat = s_feat.astype(jnp.float32), t_feat.astype(jnp.float32)
 
-        gt = pose_loss(s_out, label, bin_size)
+        gt = pose_loss(s_out, label, bin_size, valid=valid3)
         loss = kd_loss_with_features(s_out, t_out, s_feat, t_feat, gt,
-                                     temperature=temperature)
-        return loss, (s_out, label, mutated["batch_stats"], gt)
+                                     temperature=temperature, valid=valid3)
+        return loss, (s_out, label, valid3, mutated["batch_stats"], gt)
 
     def step(student_state, teacher_vars, batch: Batch):
         rng, new_rng = jax.random.split(student_state.rng)
-        (loss, (s_out, label, new_bs, gt)), grads = jax.value_and_grad(
+        (loss, (s_out, label, valid3, new_bs, gt)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(student_state.params, student_state.batch_stats, teacher_vars, batch, rng)
         student_state = student_state.apply_gradients(
             grads, new_batch_stats=new_bs, new_rng=new_rng
         )
-        _, acc = _train_metrics(s_out, label, bin_size)
+        _, acc = _train_metrics(s_out, label, bin_size, valid3)
         return student_state, {"loss": loss, "gt_loss": gt, "acc_rot": acc}
 
     return step
@@ -228,27 +247,32 @@ def make_stage1_step(
 
     def loss_fn(t_params, s_params, t_bs, s_bs, batch: Batch, rng, bank):
         s_rng, nce_rng1, nce_rng2 = jax.random.split(rng, 3)
+        valid = _valid_of(batch)
         (s_out, s_feat), s_mut = student_model.apply(
             {"params": s_params, "batch_stats": s_bs},
-            batch["im"], train=True, rngs={"dropout": s_rng}, mutable=["batch_stats"],
+            batch["im"], train=True, mask=valid,
+            rngs={"dropout": s_rng}, mutable=["batch_stats"],
         )
         (t_out, t_feat), t_mut = teacher_model.apply(
             {"params": t_params, "batch_stats": t_bs},
-            batch["im"], batch["shape"], train=True, mutable=["batch_stats"],
+            batch["im"], batch["shape"], train=True, mask=valid,
+            mutable=["batch_stats"],
         )
         t_out = _f32(t_out)
         s_feat = s_feat.astype(jnp.float32)
         t_feat = t_feat.astype(jnp.float32)
 
-        teacher_loss = pose_loss(t_out, batch["label"], bin_size)
+        teacher_loss = pose_loss(t_out, batch["label"], bin_size, valid=valid)
         if use_memory_bank:
             from pose3d_tpu.losses import info_nce_memory
 
-            nce_s2t = info_nce_memory(s_feat, t_feat, bank, tau)
-            nce_t2s = info_nce_memory(t_feat, s_feat, bank, tau)
+            nce_s2t = info_nce_memory(s_feat, t_feat, bank, tau, valid=valid)
+            nce_t2s = info_nce_memory(t_feat, s_feat, bank, tau, valid=valid)
         else:
-            nce_s2t = info_nce_kd(s_feat, t_feat, tau, dropout_rng=nce_rng1)
-            nce_t2s = info_nce_kd(t_feat, s_feat, tau, dropout_rng=nce_rng2)
+            nce_s2t = info_nce_kd(s_feat, t_feat, tau, dropout_rng=nce_rng1,
+                                  valid=valid)
+            nce_t2s = info_nce_kd(t_feat, s_feat, tau, dropout_rng=nce_rng2,
+                                  valid=valid)
         loss = teacher_loss + nce_weight * (0.5 * nce_s2t + 0.5 * nce_t2s)
         return loss, (t_out, t_mut["batch_stats"], s_mut["batch_stats"],
                       teacher_loss, t_feat)
@@ -264,11 +288,13 @@ def make_stage1_step(
         student_state = student_state.apply_gradients(
             s_grads, new_batch_stats=s_bs, new_rng=new_rng
         )
-        _, acc = _train_metrics(t_out, batch["label"], bin_size)
+        _, acc = _train_metrics(t_out, batch["label"], bin_size, _valid_of(batch))
         metrics = {"loss": loss, "teacher_loss": t_loss, "acc_rot": acc}
         if use_memory_bank:
             from pose3d_tpu.losses import enqueue
 
+            # NOTE: padded rows (replicas of real samples) are enqueued too —
+            # duplicate features in the negative pool, statistically harmless
             bank = enqueue(bank, t_feat)
             return teacher_state, student_state, metrics, bank
         return teacher_state, student_state, metrics
@@ -286,6 +312,8 @@ def make_stage2_step(
     temperature: float = 1.0,
 ) -> Callable:
     def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng):
+        valid = _valid_of(batch)
+        valid3 = None if valid is None else jnp.concatenate([valid] * 3, axis=0)
         im = jnp.concatenate([batch["im"], batch["im_flip"], batch["im_rot"]], axis=0)
         label = jnp.concatenate(
             [batch["label"], batch["label_flip"], batch["label_rot"]], axis=0
@@ -294,25 +322,26 @@ def make_stage2_step(
 
         (s_out, _), mutated = student_model.apply(
             {"params": params, "batch_stats": batch_stats},
-            im, train=True, rngs={"dropout": rng}, mutable=["batch_stats"],
+            im, train=True, mask=valid3,
+            rngs={"dropout": rng}, mutable=["batch_stats"],
         )
         t_out, _ = teacher_model.apply(teacher_vars, im, shapes, train=False)
         t_out = jax.tree.map(jax.lax.stop_gradient, t_out)
 
         s_out, t_out = _f32(s_out), _f32(t_out)
-        gt = pose_loss(s_out, label, bin_size)
-        loss = kd_loss(s_out, t_out, gt, temperature=temperature)
-        return loss, (s_out, label, mutated["batch_stats"], gt)
+        gt = pose_loss(s_out, label, bin_size, valid=valid3)
+        loss = kd_loss(s_out, t_out, gt, temperature=temperature, valid=valid3)
+        return loss, (s_out, label, valid3, mutated["batch_stats"], gt)
 
     def step(student_state, teacher_vars, batch: Batch):
         rng, new_rng = jax.random.split(student_state.rng)
-        (loss, (s_out, label, new_bs, gt)), grads = jax.value_and_grad(
+        (loss, (s_out, label, valid3, new_bs, gt)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(student_state.params, student_state.batch_stats, teacher_vars, batch, rng)
         student_state = student_state.apply_gradients(
             grads, new_batch_stats=new_bs, new_rng=new_rng
         )
-        _, acc = _train_metrics(s_out, label, bin_size)
+        _, acc = _train_metrics(s_out, label, bin_size, valid3)
         return student_state, {"loss": loss, "gt_loss": gt, "acc_rot": acc}
 
     return step

@@ -23,7 +23,7 @@ import jax
 import numpy as np
 
 from pose3d_tpu.data.loader import Prefetcher
-from pose3d_tpu.parallel import shard_batch
+from pose3d_tpu.parallel import pad_batch, shard_batch
 from pose3d_tpu.train import steps as steps_lib
 from pose3d_tpu.train.ckpt import Checkpointer
 from pose3d_tpu.train.evaluate import evaluate_categories, CategoryEvalResult
@@ -31,11 +31,25 @@ from pose3d_tpu.utils import AverageValueMeter, TxtLogger, MetricsWriter
 from pose3d_tpu.utils.logging import plot_curves
 
 
-def _device_batch(batch: dict, mesh) -> dict:
-    arrays = {k: v for k, v in batch.items() if k != "valid"}
+def _device_batch(batch: dict, valid, mesh) -> tuple[dict, "np.ndarray"]:
+    """Pad the host batch to a device-count multiple and shard it.
+
+    Padded rows replicate real samples and are marked invalid (parallel/mesh
+    pad_batch); the jit steps mask them out of BN stats, losses, grads and
+    metrics, so a non-dividing global batch (e.g. the reference's bs=46 on 8
+    chips) uses every device instead of shrinking the mesh. The 'valid' key is
+    attached to the device batch only when some row is actually padded — full
+    batches keep the mask-free (cheaper) trace. Returns (device_batch,
+    padded_host_valid)."""
+    valid = np.asarray(valid, bool) if valid is not None else np.ones(
+        len(next(iter(batch.values()))), bool)
     if mesh is not None:
-        arrays = shard_batch(arrays, mesh)
-    return {**arrays, "valid": batch.get("valid")}
+        batch, valid = pad_batch(batch, valid, mesh.size)
+    if not valid.all():
+        batch = {**batch, "valid": valid}
+    if mesh is not None:
+        batch = shard_batch(batch, mesh)
+    return batch, valid
 
 
 def _strip(batch: dict, keys) -> dict:
@@ -59,7 +73,7 @@ class _Base:
     def _prefetch(self, loader, keys):
         """Overlap host batch prep + H2D transfer with device compute."""
         def place(b):
-            return _device_batch(_strip(b, keys), self.mesh), b["valid"]
+            return _device_batch(_strip(b, keys), b["valid"], self.mesh)
 
         return Prefetcher(loader, place, depth=2)
 
@@ -86,8 +100,11 @@ class _Base:
 
         def batches():
             for b in eval_loader:
-                db = _device_batch(b, self.mesh)
-                yield {**db, "cat_id": b["cat_id"], "valid": b["valid"]}
+                host = {k: v for k, v in b.items() if k != "valid"}
+                db, hv = _device_batch(host, b["valid"], self.mesh)
+                # label/cat_id come back padded to hv's length, matching the
+                # step's pred length; evaluate_categories drops invalid rows
+                yield {**db, "valid": hv}
 
         return evaluate_categories(eval_step, variables, batches(), names)
 
@@ -340,11 +357,21 @@ class KDTrainer(_Base):
         return best_acc
 
     # ---------------- stage 1 (joint teacher + learner) ----------------
-    def fit_stage1(self, epochs: int, start_epoch: int = 0):
+    def fit_stage1(self, epochs: int, start_epoch: int = 0,
+                   use_memory_bank: bool = False, memory_bank_size: int = 4096):
+        """use_memory_bank: the MoCo-style queue EXTENSION (the reference's
+        NCE is in-batch only) — the negative pool is enlarged with past
+        teacher features; the bank rides along as explicit step state."""
         assert self.teacher_state is not None, "stage 1 trains the teacher too"
         step = jax.jit(steps_lib.make_stage1_step(
-            self.teacher_model, self.student_model, self.bin_size, self.tau),
+            self.teacher_model, self.student_model, self.bin_size, self.tau,
+            use_memory_bank=use_memory_bank),
             donate_argnums=(0, 1))
+        bank = None
+        if use_memory_bank:
+            from pose3d_tpu.losses import init_memory_bank
+
+            bank = init_memory_bank(memory_bank_size, 200)
         keys = ("im", "shape", "label")
         teacher_eval_step = jax.jit(
             steps_lib.make_eval_step(self.teacher_model, "vanilla", self.bin_size))
@@ -354,8 +381,12 @@ class KDTrainer(_Base):
             loss_m, acc_m = AverageValueMeter(), AverageValueMeter()
             for i, (db, valid) in enumerate(self._prefetch(self.train_loader, keys)):
                 self._maybe_profile(i)
-                self.teacher_state, self.student_state, metrics = step(
-                    self.teacher_state, self.student_state, db)
+                if use_memory_bank:
+                    (self.teacher_state, self.student_state, metrics,
+                     bank) = step(self.teacher_state, self.student_state, db, bank)
+                else:
+                    self.teacher_state, self.student_state, metrics = step(
+                        self.teacher_state, self.student_state, db)
                 n = int(valid.sum())
                 loss_m.update(float(metrics["loss"]), n)
                 acc_m.update(float(metrics["acc_rot"]), n)
