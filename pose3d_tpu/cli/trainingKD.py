@@ -52,6 +52,13 @@ def parse_args(argv=None):
     parser.add_argument("--student_width_mult", type=float, default=1.0,
                         help="EXTENSION: VGG conv width multiplier for a faster "
                              "student (0.5 -> 2.6x inference throughput)")
+    parser.add_argument("--use_memory_bank", action="store_true",
+                        help="EXTENSION (stage 1 only): enlarge the symmetric "
+                             "NCE negative pool with a MoCo-style FIFO queue "
+                             "of past teacher features (losses/memory_bank.py;"
+                             " the reference's --crd is in-batch only)")
+    parser.add_argument("--memory_bank_size", type=int, default=4096,
+                        help="queue length for --use_memory_bank")
     parser.add_argument("--result_dir", type=str, default="result")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of early steps here")
@@ -143,7 +150,8 @@ def main(argv=None):
                             tau=opt.tau, mesh=mesh, teacher_state=teacher_state)
         trainer.profile_dir = opt.profile_dir
         n = opt.n_epoch or EPOCHS["stage1"]
-        best = trainer.fit_stage1(n)
+        best = trainer.fit_stage1(n, use_memory_bank=opt.use_memory_bank,
+                                  memory_bank_size=opt.memory_bank_size)
     else:
         if opt.stage == 2:
             teacher = common.build_vanilla(opt)

@@ -299,3 +299,59 @@ def test_kd_crd_pascal3d(tmp_path):
     kd_dir = os.path.join(os.getcwd(), result_dir, "KD_Pascal3D")
     log = open(os.path.join(kd_dir, "training_log.txt")).read()
     assert "Student Epoch" in log
+
+
+def test_novel_zeroshot_training(tmp_path):
+    """--novel zero-shot regime e2e (reference dataset.py:479-483): train
+    EXCLUDES the test categories, eval runs ONLY on them. Fixture has 'bed'
+    (an ObjectNet3D test cat) and 'chair' (not a test cat): novel training
+    must train on chair-only data yet evaluate on bed."""
+    import json
+
+    from pose3d_tpu.cli import training
+    from pose3d_tpu.data import datasets
+    from pose3d_tpu.data.annotations import OBJECTNET3D_TEST_CATS
+
+    root = tmp_path / "data"
+    synthetic.make_objectnet3d_fixture(str(root / "ObjectNet3D"),
+                                       categories=("bed", "chair"),
+                                       n_train_per_cat=4, n_val_per_cat=3)
+    assert "bed" in OBJECTNET3D_TEST_CATS and "chair" not in OBJECTNET3D_TEST_CATS
+
+    # frame-level: the novel train split contains no test-cat samples
+    ds_train = datasets.Pascal3DContrast(
+        str(root / "ObjectNet3D"), "ObjectNet3D.txt", train=True,
+        cat_choice=OBJECTNET3D_TEST_CATS, novel=True, shape="PointCloud",
+        shape_dir="pointcloud", input_dim=64, point_num=64, seed=46)
+    assert set(ds_train.frame.cat) == {"chair"}
+
+    result_dir = str(tmp_path / "result")
+    training.main(_common_args(str(root), result_dir) +
+                  ["--novel", "--n_epoch", "1", "--decrease", "1"])
+
+    run_dir = os.path.join(os.getcwd(), result_dir,
+                           "PointCloud_ObjectNet3D_novel")
+    assert os.path.exists(os.path.join(run_dir, "training_log.txt"))
+    # eval ran on the held-out test cats only: per-category metrics name bed
+    metrics = [json.loads(l) for l in
+               open(os.path.join(run_dir, "metrics.jsonl"))]
+    per_cat = [m["per_category_acc"] for m in metrics
+               if "per_category_acc" in m]
+    assert per_cat and set(per_cat[-1]) == {"bed"}
+
+
+def test_stage1_memory_bank_cli(data_root, tmp_path):
+    """--use_memory_bank e2e: the stage-1 MoCo-queue EXTENSION dispatches
+    through the trainingKD CLI and trains both models."""
+    from pose3d_tpu.cli import trainingKD
+
+    result_dir = str(tmp_path / "result")
+    trainingKD.main(_common_args(data_root, result_dir) + [
+        "--stage", "1", "--n_epoch", "1", "--decrease", "1",
+        "--student_feature_dim", "64",
+        "--use_memory_bank", "--memory_bank_size", "64",
+    ])
+    kd_dir = os.path.join(os.getcwd(), result_dir, "KD_ObjectNet3D")
+    log = open(os.path.join(kd_dir, "training_log.txt")).read()
+    assert "Student Epoch" in log
+    assert os.path.isdir(os.path.join(kd_dir, "ckpt", "checkpoint"))
