@@ -124,40 +124,40 @@ def main():
         print(f"no xplane found under {trace_dir}")
         return
     print(f"trace: {xplanes[0]}")
+    summarize_xplane(xplanes[0], args.steps, args.top)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
 
-    for tool in ("framework_op_stats", "op_profile"):
-        try:
-            data, _ = raw_to_tool_data.xspace_to_tool_data(
-                [xplanes[0]], tool + "^", {})
-        except Exception as e:
-            print(f"[{tool}] converter failed: {e}")
+def summarize_xplane(path: str, n_steps: int, top: int) -> None:
+    """Direct XSpace parse: per-op device time on the TPU plane.
+
+    The tensorboard_plugin_profile converters in this image are broken
+    (protobuf descriptor mismatch + missing TF pywrap symbol), so read the
+    xplane proto with tensorflow's generated schema instead."""
+    import collections
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(path, "rb") as f:
+        xs.ParseFromString(f.read())
+    planes = [p for p in xs.planes if p.name.startswith("/device:TPU")]
+    if not planes:
+        print("no TPU plane in trace")
+        return
+    plane = planes[0]
+    md = plane.event_metadata
+    for line in plane.lines:
+        if "Ops" not in line.name or "Async" in line.name:
             continue
-        out = os.path.join(trace_dir, f"{tool}.json")
-        with open(out, "w") as f:
-            f.write(data if isinstance(data, str) else data.decode())
-        print(f"[{tool}] written to {out}")
-
-    # quick human-readable summary from framework_op_stats
-    stats_path = os.path.join(trace_dir, "framework_op_stats.json")
-    if os.path.exists(stats_path):
-        try:
-            payload = json.load(open(stats_path))
-            table = payload[1] if isinstance(payload, list) else payload
-            rows = table.get("rows", [])
-            cols = [c["label"] for c in table.get("cols", [])]
-
-            def cell(r, name):
-                return r["c"][cols.index(name)]["v"]
-
-            rows = sorted(rows, key=lambda r: -cell(r, "Total self-time (us)"))
-            print(f"\ntop {args.top} ops by self time:")
-            for r in rows[: args.top]:
-                print(f"  {cell(r, 'Total self-time (us)'):>12,.0f} us  "
-                      f"{cell(r, 'Type')}  {cell(r, 'Operation')[:80]}")
-        except Exception as e:
-            print(f"summary parse failed: {e}")
+        agg = collections.Counter()
+        for e in line.events:
+            agg[md[e.metadata_id].name] += e.duration_ps
+        tot = sum(agg.values())
+        print(f"\n== {line.name}: {tot / 1e9 / n_steps:.2f} ms/step, "
+              f"top {top} ==")
+        for name, ps in agg.most_common(top):
+            print(f"  {ps / 1e9 / n_steps:8.3f} ms {100 * ps / tot:5.1f}%  "
+                  f"{name[:95]}")
 
 
 if __name__ == "__main__":

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -28,6 +29,53 @@ CFG = {
 }
 
 
+class _ConvPool2x2(nn.Module):
+    """SAME 3x3 conv + 2x2/2 max pool, folded into 4 stride-2 phase convs
+    and an elementwise max — the TPU form of the VGG stem.
+
+    conv[h] = sum_u x[h-1+u] K[u]; pooled y[p] = max_{dy,dx} conv[2p+dy, 2q+dx].
+    Each phase (dy, dx) is a stride-2 conv with K zero-embedded into a 4x4
+    kernel at offset (dy, dx) and padding (1, 1): out_dy[p] = conv[2p+dy]
+    exactly. The max over the 4 phase outputs runs at 1/4 resolution and its
+    backward is an elementwise select — no select-and-scatter, no 224x224
+    intermediate in fwd OR bwd (the XLA pool-form spent ~11 ms/step there;
+    docs/PERF.md round-2 trace table). The bias is added AFTER the max
+    (per-channel constant commutes with max), so its gradient reduce is also
+    1/4-size.
+
+    First-tie-wins across phases in row-major (dy, dx) order via the
+    `where(a >= b, a, b)` chain — gradient routing identical to torch's
+    MaxPool2d scan order (reference student, auxiliary/vgg.py:60).
+
+    Param tree matches nn.Conv ({kernel (3,3,C,F), bias (F,)}) and callers
+    pass name="Conv_i", so checkpoints and the torch import/export maps are
+    unchanged.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", kaiming_leaky02,
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(x.shape, (4, 4) + kernel.shape[2:],
+                                            ("NHWC", "HWIO", "NHWC"))
+        phases = []
+        for dy in (0, 1):
+            for dx in (0, 1):
+                kp = jnp.pad(k, ((dy, 1 - dy), (dx, 1 - dx), (0, 0), (0, 0)))
+                phases.append(jax.lax.conv_general_dilated(
+                    x, kp, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn))
+        m01 = jnp.where(phases[0] >= phases[1], phases[0], phases[1])
+        m23 = jnp.where(phases[2] >= phases[3], phases[2], phases[3])
+        y = jnp.where(m01 >= m23, m01, m23)
+        return y + bias.astype(self.dtype)
+
+
 class VGG(nn.Module):
     cfg: Sequence
     num_classes: int = 1000
@@ -41,21 +89,54 @@ class VGG(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
                  mask: jnp.ndarray | None = None) -> jnp.ndarray:
-        for v in self.cfg:
+        cfg = list(self.cfg)
+        conv_i = 0
+        i = 0
+        while i < len(cfg):
+            v = cfg[i]
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = nn.relu(x)  # deferred from the preceding conv (see below)
+                i += 1
+                continue
+            if self.width_mult != 1.0:
+                v = max(16, int(round(v * self.width_mult / 16)) * 16)
+            # conv immediately followed by a pool, no BN in between: fold the
+            # pool into the conv as 4 stride-2 phase convolutions + an
+            # elementwise max (_ConvPool2x2) — removes XLA's select-and-
+            # scatter backward and the whole full-resolution stem cluster
+            # (~11 ms of the 75 ms KD step at 224x224x64; docs/PERF.md).
+            # Only done for the stem (conv_i == 0): at the deeper pools the
+            # folded form re-reads the (already small) activation 4x and
+            # measured slower, while the SAS ops there are <2 ms combined.
+            fold = (conv_i == 0 and not self.batch_norm
+                    and i + 1 < len(cfg) and cfg[i + 1] == "M"
+                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+            if fold:
+                x = _ConvPool2x2(features=v, dtype=self.dtype,
+                                 name=f"Conv_{conv_i}")(x)
+                i += 2  # consumed the "M" as well
             else:
-                if self.width_mult != 1.0:
-                    v = max(16, int(round(v * self.width_mult / 16)) * 16)
                 x = nn.Conv(v, (3, 3), padding="SAME", use_bias=True,
                             dtype=self.dtype, param_dtype=jnp.float32,
-                            kernel_init=kaiming_leaky02, bias_init=zeros)(x)
+                            kernel_init=kaiming_leaky02, bias_init=zeros,
+                            name=f"Conv_{conv_i}")(x)
                 if self.batch_norm:
                     x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                      epsilon=1e-5, dtype=self.dtype,
                                      param_dtype=jnp.float32,
                                      axis_name=self.axis_name if train else None)(
                         x, mask=bn_mask(mask, x) if train else None)
+                i += 1
+            conv_i += 1
+            # relu and max-pool are both monotone, so they commute:
+            # pool(relu(x)) == relu(pool(x)). When a pool follows, apply
+            # relu AFTER it — the elementwise op and its backward mask
+            # then run at 1/4 resolution, and the full-res relu recompute
+            # in the KD step's backward (broadcast_maximum_fusion,
+            # ~5 ms/step at 224x224x64) disappears. Same outputs as the
+            # reference order (torchvision vgg, auxiliary/vgg.py:60).
+            if fold or not (i < len(cfg) and cfg[i] == "M"):
                 x = nn.relu(x)
 
         # classifier: flatten 7x7x512 -> 4096 -> 4096 -> num_classes

@@ -151,3 +151,94 @@ def test_pallas_pointnet_matches_xla(rng):
     ref = _xla_pointnet_eval(pts, *[x for pair in folded for x in pair])
     out = pallas_pointnet_interpret(pts, folded)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Custom-VJP 2x2 max pool (ops/pooling.py) — SAS-free backward
+# ---------------------------------------------------------------------------
+def test_max_pool_2x2_forward_matches_flax(rng):
+    from flax import linen as nn
+    from pose3d_tpu.ops.pooling import max_pool
+
+    x = jnp.asarray(rng.standard_normal((3, 8, 12, 5)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(max_pool(x)),
+                                  np.asarray(nn.max_pool(x, (2, 2), strides=(2, 2))))
+    # odd spatial dims fall back to flax (VALID window semantics)
+    x_odd = jnp.asarray(rng.standard_normal((2, 7, 9, 4)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(max_pool(x_odd)),
+        np.asarray(nn.max_pool(x_odd, (2, 2), strides=(2, 2))))
+
+
+def test_max_pool_2x2_gradient_matches_torch(rng):
+    """Backward parity vs torch MaxPool2d, including first-tie-wins windows
+    (the reference student's pooling, auxiliary/vgg.py:60)."""
+    import torch
+    from pose3d_tpu.ops.pooling import max_pool_2x2
+
+    x_np = rng.standard_normal((2, 6, 8, 3)).astype(np.float32)
+    # craft exact ties in several windows: duplicate the max into other slots
+    x_np[0, 0, 0, 0] = x_np[0, 1, 1, 0] = 3.5          # full-window tie pair
+    x_np[1, 2:4, 2:4, 1] = 1.25                        # all four slots tied
+    cot_np = rng.standard_normal((2, 3, 4, 3)).astype(np.float32)
+
+    def jax_loss(x):
+        return jnp.sum(max_pool_2x2(x) * jnp.asarray(cot_np))
+
+    gj = np.asarray(jax.grad(jax_loss)(jnp.asarray(x_np)))
+
+    xt = torch.tensor(x_np.transpose(0, 3, 1, 2), requires_grad=True)  # NCHW
+    yt = torch.nn.functional.max_pool2d(xt, 2, 2)
+    yt.backward(torch.tensor(cot_np.transpose(0, 3, 1, 2)))
+    gt = xt.grad.numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(gj, gt, rtol=1e-6, atol=1e-6)
+
+
+def test_vgg_pool_relu_reorder_matches_reference_order(rng):
+    """models/vgg.py applies relu AFTER a following max-pool (they commute:
+    both monotone) so the elementwise work runs at 1/4 resolution. The
+    output must be bit-identical to the reference conv->relu->pool order
+    (torchvision vgg), and grads must flow."""
+    from flax import linen as nn
+    from pose3d_tpu.models.vgg import vgg11, CFG
+    from pose3d_tpu.models.common import kaiming_leaky02, dense_init_1e3
+    from jax.nn.initializers import zeros as zeros_init
+
+    model = vgg11(num_classes=16)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, train=False)
+
+    class RefOrderVGG(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for v in CFG["A"]:
+                if v == "M":
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                else:
+                    x = nn.Conv(v, (3, 3), padding="SAME", use_bias=True,
+                                param_dtype=jnp.float32,
+                                kernel_init=kaiming_leaky02,
+                                bias_init=zeros_init)(x)
+                    x = nn.relu(x)
+            x = x.reshape(x.shape[0], -1)
+            for _ in range(2):
+                x = nn.Dense(4096, kernel_init=dense_init_1e3,
+                             bias_init=zeros_init)(x)
+                x = nn.relu(x)
+            return nn.Dense(16, kernel_init=dense_init_1e3,
+                            bias_init=zeros_init)(x)
+
+    ref = RefOrderVGG()
+    ref_vars = ref.init(jax.random.key(0), x)
+    # same module structure -> same param tree; run both on the same params
+    out = model.apply(variables, x, train=False)
+    ref_out = ref.apply({"params": variables["params"]}, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref_out))
+
+    def loss(params):
+        return jnp.sum(model.apply({"params": params}, x, train=False) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+    assert any(float(jnp.abs(l).sum()) > 0 for l in jax.tree.leaves(g))
