@@ -62,16 +62,25 @@ class _ConvPool2x2(nn.Module):
         bias = self.param("bias", zeros, (self.features,), jnp.float32)
         x = x.astype(self.dtype)
         k = kernel.astype(self.dtype)
-        dn = jax.lax.conv_dimension_numbers(x.shape, (4, 4) + kernel.shape[2:],
+        f = self.features
+        # one conv with 4F output channels instead of 4 separate convs: 4x
+        # the output-channel tile utilization on the MXU and a single weight
+        # gradient over the image (4 separate phase convs measured ~4.4 ms of
+        # phase wgrads at bs=138)
+        k4 = jnp.concatenate(
+            [jnp.pad(k, ((dy, 1 - dy), (dx, 1 - dx), (0, 0), (0, 0)))
+             for dy in (0, 1) for dx in (0, 1)], axis=3)
+        dn = jax.lax.conv_dimension_numbers(x.shape, k4.shape,
                                             ("NHWC", "HWIO", "NHWC"))
-        phases = []
-        for dy in (0, 1):
-            for dx in (0, 1):
-                kp = jnp.pad(k, ((dy, 1 - dy), (dx, 1 - dx), (0, 0), (0, 0)))
-                phases.append(jax.lax.conv_general_dilated(
-                    x, kp, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn))
-        m01 = jnp.where(phases[0] >= phases[1], phases[0], phases[1])
-        m23 = jnp.where(phases[2] >= phases[3], phases[2], phases[3])
+        y4 = jax.lax.conv_general_dilated(
+            x, k4, (2, 2), ((1, 1), (1, 1)), dimension_numbers=dn)
+        # max over the 4 phase channel-groups via a where-chain (autodiff
+        # backward). A custom VJP storing a u8 argmax residual instead of the
+        # three pred tensors measured ~3% SLOWER (612.8 vs 630.3 samples/s):
+        # u8's (32,128) tiling pads worse than the preds XLA keeps.
+        p0, p1, p2, p3 = (y4[..., i * f:(i + 1) * f] for i in range(4))
+        m01 = jnp.where(p0 >= p1, p0, p1)
+        m23 = jnp.where(p2 >= p3, p2, p3)
         y = jnp.where(m01 >= m23, m01, m23)
         return y + bias.astype(self.dtype)
 
@@ -102,13 +111,15 @@ class VGG(nn.Module):
             if self.width_mult != 1.0:
                 v = max(16, int(round(v * self.width_mult / 16)) * 16)
             # conv immediately followed by a pool, no BN in between: fold the
-            # pool into the conv as 4 stride-2 phase convolutions + an
+            # pool into the conv as stride-2 phase convolutions + an
             # elementwise max (_ConvPool2x2) — removes XLA's select-and-
             # scatter backward and the whole full-resolution stem cluster
             # (~11 ms of the 75 ms KD step at 224x224x64; docs/PERF.md).
-            # Only done for the stem (conv_i == 0): at the deeper pools the
-            # folded form re-reads the (already small) activation 4x and
-            # measured slower, while the SAS ops there are <2 ms combined.
+            # Only done for the stem (conv_i == 0): the folded kernel embeds
+            # 3x3 taps in a 4x4 window (16/9 the MACs), which only pays where
+            # MXU utilization is hopeless anyway (C_in=3); the deeper convs
+            # run near full tile utilization and their SAS ops are <2 ms
+            # combined, so the +78% MACs would be a net loss there.
             fold = (conv_i == 0 and not self.batch_norm
                     and i + 1 < len(cfg) and cfg[i + 1] == "M"
                     and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
