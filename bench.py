@@ -69,7 +69,9 @@ def _bench_kd_step(args) -> None:
                                 torch_style_adam(1e-4))
     batch = {"im": im, "im_flip": im, "im_rot": im, "shape": pc,
              "label": label, "label_flip": label, "label_rot": label}
-    kstep = jax.jit(steps_lib.make_kd_crd_step(student, teacher))
+    # donate the train state exactly as the trainer's jits do (trainer.py)
+    kstep = jax.jit(steps_lib.make_kd_crd_step(student, teacher),
+                    donate_argnums=(0,))
 
     try:
         cost = kstep.lower(sstate, tv, batch).compile().cost_analysis()
@@ -78,7 +80,7 @@ def _bench_kd_step(args) -> None:
         step_flops = 0.0
 
     for _ in range(args.warmup):
-        s2, m = kstep(sstate, tv, batch)
+        sstate, m = kstep(sstate, tv, batch)
         np.asarray(m["loss"])
     t0 = time.perf_counter()
     for _ in range(args.steps):

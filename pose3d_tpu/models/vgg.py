@@ -85,6 +85,31 @@ class _ConvPool2x2(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _PrePoolConv(nn.Module):
+    """SAME 3x3 conv whose bias is returned instead of added: a per-channel
+    constant commutes with max-pool (max(x+b) = max(x)+b), so the caller adds
+    it AFTER the following 2x2 pool — the bias add, its gradient reduce and
+    the fused cotangent pass then run at 1/4 resolution (the full-res
+    bias-grad tuple fusions were ~3 ms/step of the KD step; docs/PERF.md).
+    Param tree matches nn.Conv ({kernel, bias}); callers pass name="Conv_i"."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray):
+        kernel = self.param("kernel", kaiming_leaky02,
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=dn)
+        return y, bias.astype(self.dtype)
+
+
 class VGG(nn.Module):
     cfg: Sequence
     num_classes: int = 1000
@@ -127,6 +152,17 @@ class VGG(nn.Module):
                 x = _ConvPool2x2(features=v, dtype=self.dtype,
                                  name=f"Conv_{conv_i}")(x)
                 i += 2  # consumed the "M" as well
+            elif (not self.batch_norm and i + 1 < len(cfg)
+                  and cfg[i + 1] == "M"):
+                # pre-pool conv: bias deferred past the pool (commutes with
+                # max), pool + bias + relu all at 1/4 resolution
+                y, b = _PrePoolConv(features=v, dtype=self.dtype,
+                                    name=f"Conv_{conv_i}")(x)
+                x = nn.max_pool(y, (2, 2), strides=(2, 2)) + b
+                i += 2  # consumed the "M" as well
+                conv_i += 1
+                x = nn.relu(x)
+                continue
             else:
                 x = nn.Conv(v, (3, 3), padding="SAME", use_bias=True,
                             dtype=self.dtype, param_dtype=jnp.float32,
