@@ -36,6 +36,10 @@ import tempfile
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
 
 def _force_cpu():
     os.environ.setdefault("JAX_PLATFORMS", "cpu")

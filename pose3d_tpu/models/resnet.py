@@ -82,10 +82,16 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
                  mask: jnp.ndarray | None = None):
-        # stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool
+        # stem: 7x7/2 conv + BN + relu + 3x3/2 maxpool. relu and max-pool
+        # commute (both monotone), so relu runs AFTER the pool at 1/4
+        # resolution — bit-identical output (relu(pool(x)) == pool(relu(x))),
+        # and the backward's full-res relu mask/recompute at 112x112x64
+        # disappears (same trick as models/vgg.py; docs/PERF.md round 2).
         x = ConvBN(self.features, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-                   dtype=self.dtype, axis_name=self.axis_name)(x, train, mask)
+                   use_relu=False, dtype=self.dtype,
+                   axis_name=self.axis_name)(x, train, mask)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        x = nn.relu(x)
 
         for i, n_blocks in enumerate(self.stage_sizes):
             for j in range(n_blocks):
