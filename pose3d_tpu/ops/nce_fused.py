@@ -24,6 +24,16 @@ Why a kernel: under wide data-parallel meshes the all-gathered feature matrix
 makes z big; the kernel keeps z entirely in VMEM for both passes (fwd saves
 only the row norms and denominators, N floats — z is recomputed in bwd, a
 FLOPs-for-HBM trade that wins for N x N matrices).
+
+ROUND-2 DISPOSITION (VERDICT r1 item #9): XLA stays the production default.
+On-chip timing showed XLA ahead at every batch the workloads reach
+(b=138-1024, docs/PERF.md), and the single-block kernel VMEM-OOMs at b~2048.
+The widest NCE batch any supported configuration produces today is the
+teacher recipe's bs=160 x 8-chip DP = 1280 global rows (the KD student path
+has no NCE at all), which both fits the kernel and is still XLA-favored —
+so a blocked-Gram rewrite would optimize a regime nothing exercises. The
+kernel remains available behind `use_fused_nce` with its A/B tests; revisit
+if a >16-chip global-batch NCE regime appears.
 """
 
 from __future__ import annotations
