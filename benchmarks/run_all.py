@@ -104,14 +104,17 @@ def main(argv=None):
                                 torch_style_adam(1e-4))
     label = jnp.asarray(np.stack([rng.integers(0, 360, bt), rng.integers(0, 180, bt),
                                   rng.integers(0, 360, bt)], 1).astype(np.int32))
-    tstep = jax.jit(steps_lib.make_teacher_train_step(teacher))
+    # donate the train state exactly as the trainer's jits do (trainer.py)
+    tstep = jax.jit(steps_lib.make_teacher_train_step(teacher),
+                    donate_argnums=(0,))
     batch = {"im": imt, "shape": pct, "label": label}
+    tbox = [tstate]
 
-    def run_tstep(s, b):
-        s2, m = tstep(s, b)
+    def run_tstep(b):
+        tbox[0], m = tstep(tbox[0], b)
         return m["loss"]
 
-    dt = _time(run_tstep, tstate, batch, steps=steps)
+    dt = _time(run_tstep, batch, steps=steps)
     emit("teacher_train_img_per_s", bt / dt, "img/s")
     emit("teacher_train_step_ms", dt * 1000, "ms")
 
@@ -124,13 +127,15 @@ def main(argv=None):
                 "label": labk, "label_flip": labk, "label_rot": labk}
     sstate = create_train_state(student, (imk[:1],), jax.random.key(3),
                                 torch_style_adam(1e-4))
-    kstep = jax.jit(steps_lib.make_kd_crd_step(student, teacher))
+    kstep = jax.jit(steps_lib.make_kd_crd_step(student, teacher),
+                    donate_argnums=(0,))
+    sbox = [sstate]
 
-    def run_kstep(s, tv_, b):
-        s2, m = kstep(s, tv_, b)
+    def run_kstep(tv_, b):
+        sbox[0], m = kstep(sbox[0], tv_, b)
         return m["loss"]
 
-    dt = _time(run_kstep, sstate, tv, kd_batch, steps=steps)
+    dt = _time(run_kstep, tv, kd_batch, steps=steps)
     emit("kd_train_samples_per_s", bk / dt, "samples/s")
     emit("kd_train_step_ms", dt * 1000, "ms")
 
