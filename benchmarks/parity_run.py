@@ -284,6 +284,217 @@ def run_parity(
     return report
 
 
+# --------------------------------------------------------------------------
+# KD --crd regime (the headline distillation path)
+# --------------------------------------------------------------------------
+
+def _torch_t2_kl(s, t, temperature=1.0):
+    """TemperatureScaledKLDivLoss (vanilla_kd.py:8-30): T^2 * batchmean
+    KL(softmax(t/T) || softmax(s/T))."""
+    import torch
+
+    log_p = torch.nn.functional.log_softmax(s / temperature, dim=-1)
+    q = torch.nn.functional.softmax(t / temperature, dim=-1)
+    return (temperature ** 2) * torch.nn.functional.kl_div(
+        log_p, q, reduction="batchmean")
+
+
+def make_torch_student_eval_step(tmodel, bin_size=15):
+    import torch
+
+    import jax.numpy as jnp
+    from pose3d_tpu import geometry
+    from pose3d_tpu.losses import pose_loss_per_sample
+
+    def eval_step(_variables, batch):
+        tmodel.eval()
+        with torch.no_grad():
+            im = torch.from_numpy(np.ascontiguousarray(
+                np.asarray(batch["im"]).transpose(0, 3, 1, 2))).float()
+            out, _ = tmodel(im)
+            outs = [jnp.asarray(o.numpy().astype(np.float32)) for o in out]
+        preds = geometry.decode_predictions(tuple(outs[:3]), tuple(outs[3:]),
+                                            bin_size)
+        per = pose_loss_per_sample(outs, jnp.asarray(np.asarray(batch["label"])),
+                                   bin_size)
+        return {"pred": preds, "loss": jnp.mean(per), "per_sample_loss": per}
+
+    return eval_step
+
+
+def run_parity_kd(
+    epochs: int = 4,
+    n_train_per_cat: int = 16,
+    n_val_per_cat: int = 6,
+    batch_size: int = 6,
+    input_dim: int = 64,
+    point_num: int = 64,
+    img_feature_dim: int = 128,
+    shape_feature_dim: int = 64,
+    lr: float = 1e-4,
+    seed: int = 46,
+    verbose: bool = True,
+) -> dict:
+    """Trajectory parity on the KD --crd regime (base_class.py:303-449 +
+    calculate_kd_loss_new, vanilla_kd.py:143-164): reference torch
+    BaselineEstimator student distilled from a frozen reference PoseEstimator
+    teacher vs the pose3d_tpu pair, identical init (torch export -> flax
+    import for BOTH models), identical 3-view batch stream, identical
+    optimizer. Dropout is disabled on both sides (the one op whose rng
+    streams cannot be matched across frameworks; VGG11 has no BN, so the
+    student is then fully deterministic)."""
+    _force_cpu()
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from pose3d_tpu.data import synthetic
+    from pose3d_tpu.data.datasets import Pascal3DContrast
+    from pose3d_tpu.data.loader import DataLoader
+    from pose3d_tpu.models import BaselineEstimator, PoseEstimator
+    from pose3d_tpu.train import create_train_state, steps, torch_style_adam
+    from pose3d_tpu.train.evaluate import evaluate_categories
+    from pose3d_tpu.train.torch_import import load_torch_variables
+
+    torch.manual_seed(seed)
+    tmp = tempfile.mkdtemp(prefix="parity_kd_")
+    root = os.path.join(tmp, "ObjectNet3D")
+    synthetic.make_objectnet3d_fixture(
+        root, n_train_per_cat=n_train_per_cat, n_val_per_cat=n_val_per_cat,
+        image_size=max(96, input_dim), seed=seed)
+
+    common = dict(shape="PointCloud", shape_dir="pointcloud",
+                  input_dim=input_dim, point_num=point_num)
+    ds_train = Pascal3DContrast(root, "ObjectNet3D.txt", train=True,
+                                seed=seed, **common)
+    ds_val = Pascal3DContrast(root, "ObjectNet3D.txt", train=False, **common)
+    cats = ds_val.category_names
+    train_loader = DataLoader(ds_train, batch_size, shuffle=True,
+                              drop_last=True, num_workers=0, seed=seed)
+    val_batches = list(DataLoader(ds_val, batch_size, shuffle=False,
+                                  num_workers=0))
+
+    sys.path.insert(0, "/root/reference")
+    from auxiliary.model import BaselineEstimator as TorchStudent  # type: ignore
+    from auxiliary.model import PoseEstimator as TorchTeacher  # type: ignore
+
+    t_student = TorchStudent(img_feature_dim=img_feature_dim)
+    t_teacher = TorchTeacher(img_feature_dim=img_feature_dim,
+                             shape_feature_dim=shape_feature_dim,
+                             azi_classes=24, ele_classes=12, inp_classes=24,
+                             shape="PointCloud")
+    _torch_kaiming_init(t_student)
+    _torch_kaiming_init(t_teacher)
+    for m in list(t_student.modules()) + list(t_teacher.modules()):
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+    s_pth = os.path.join(tmp, "student.pth")
+    te_pth = os.path.join(tmp, "teacher.pth")
+    torch.save({"model": t_student.state_dict()}, s_pth)
+    torch.save({"model": t_teacher.state_dict()}, te_pth)
+
+    j_student = BaselineEstimator(img_feature_dim=img_feature_dim,
+                                  dropout_rate=0.0)
+    j_teacher = PoseEstimator(shape="PointCloud",
+                              img_feature_dim=img_feature_dim,
+                              shape_feature_dim=shape_feature_dim)
+    im_ex = jnp.zeros((1, input_dim, input_dim, 3))
+    pc_ex = jnp.zeros((1, point_num, 3))
+    state = create_train_state(j_student, (im_ex,), jax.random.key(seed),
+                               torch_style_adam(lr, 5e-4))
+    sv = load_torch_variables(s_pth, {"params": state.params,
+                                      "batch_stats": state.batch_stats})
+    state = state.replace(params=sv["params"], batch_stats=sv["batch_stats"])
+    tv0 = j_teacher.init(jax.random.key(seed + 1), im_ex, pc_ex, train=False)
+    teacher_vars = load_torch_variables(
+        te_pth, {"params": tv0["params"], "batch_stats": tv0["batch_stats"]})
+
+    topt = torch.optim.Adam(t_student.parameters(), lr=lr, weight_decay=5e-4)
+    jstep = jax.jit(steps.make_kd_crd_step(j_student, j_teacher))
+    jeval = jax.jit(steps.make_eval_step(j_student, "student"))
+    teval = make_torch_student_eval_step(t_student)
+
+    def eval_both():
+        jvars = {"params": state.params, "batch_stats": state.batch_stats}
+        rj = evaluate_categories(jeval, jvars, iter(val_batches), cats)
+        rt = evaluate_categories(teval, None, iter(val_batches), cats)
+        return rt, rj
+
+    rt0, rj0 = eval_both()
+    err_gap0 = float(np.max(np.abs(rt0.errors - rj0.errors)))
+    report = {"regime": "kd_crd", "epoch0": {
+        "torch_acc": rt0.sample_acc, "jax_acc": rj0.sample_acc,
+        "max_err_gap_deg": err_gap0}, "epochs": []}
+    if verbose:
+        print(f"[kd] epoch 0 (identical init): torch acc {rt0.sample_acc:.2f} "
+              f"jax acc {rj0.sample_acc:.2f}  max per-sample err gap "
+              f"{err_gap0:.2e} deg")
+
+    keys = ("im", "shape", "label", "im_flip", "label_flip", "im_rot",
+            "label_rot")
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        batches = list(train_loader)
+
+        t_student.train()
+        t_teacher.eval()
+        tlosses = []
+        for b in batches:
+            im, shp, label = _to_torch(b)
+            im_f = torch.from_numpy(np.ascontiguousarray(
+                b["im_flip"].transpose(0, 3, 1, 2))).float()
+            im_r = torch.from_numpy(np.ascontiguousarray(
+                b["im_rot"].transpose(0, 3, 1, 2))).float()
+            lab_f = torch.from_numpy(b["label_flip"].astype(np.int64))
+            lab_r = torch.from_numpy(b["label_rot"].astype(np.int64))
+            im3 = torch.cat((im, im_f, im_r), 0)
+            lab3 = torch.cat((label, lab_f, lab_r), 0)
+            shp3 = torch.cat((shp, shp, shp), 0)
+            out, s_feat = t_student(im3)
+            with torch.no_grad():
+                t_out, _, t_feat = t_teacher(im3, shp3)
+            gt = _torch_pose_loss(out, lab3)
+            kl = sum(_torch_t2_kl(out[i], t_out[i].detach()) for i in range(6))
+            feat_kl = _torch_t2_kl(s_feat, t_feat.detach())
+            loss = 0.25 * gt + 0.75 * kl + 0.75 * feat_kl
+            topt.zero_grad()
+            loss.backward()
+            topt.step()
+            tlosses.append(float(loss.detach()))
+
+        jlosses = []
+        for b in batches:
+            jb = {k: jnp.asarray(b[k]) for k in keys}
+            state, metrics = jstep(state, teacher_vars, jb)
+            jlosses.append(float(metrics["loss"]))
+
+        rt, rj = eval_both()
+        row = {"epoch": epoch,
+               "torch_train_loss": float(np.mean(tlosses)),
+               "jax_train_loss": float(np.mean(jlosses)),
+               "torch_val_acc": rt.sample_acc, "jax_val_acc": rj.sample_acc}
+        row["train_loss_rel_gap"] = (
+            abs(row["torch_train_loss"] - row["jax_train_loss"])
+            / max(abs(row["torch_train_loss"]), 1e-9))
+        row["val_acc_gap"] = abs(row["torch_val_acc"] - row["jax_val_acc"])
+        report["epochs"].append(row)
+        if verbose:
+            print(f"[kd] epoch {epoch}: train loss torch "
+                  f"{row['torch_train_loss']:.4f} jax "
+                  f"{row['jax_train_loss']:.4f} (rel gap "
+                  f"{row['train_loss_rel_gap']:.3%}) | val acc torch "
+                  f"{row['torch_val_acc']:.2f} jax {row['jax_val_acc']:.2f}")
+
+    last = report["epochs"][-1]
+    report["summary"] = {
+        "epoch0_max_err_gap_deg": err_gap0,
+        "final_train_loss_rel_gap": last["train_loss_rel_gap"],
+        "final_val_acc_gap": last["val_acc_gap"],
+        "max_val_acc_gap": max(r["val_acc_gap"] for r in report["epochs"]),
+    }
+    return report
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=6)
@@ -294,7 +505,20 @@ def main(argv=None):
     p.add_argument("--img_feature_dim", type=int, default=64)
     p.add_argument("--shape_feature_dim", type=int, default=32)
     p.add_argument("--out", type=str, default=None)
+    p.add_argument("--regime", choices=["vanilla", "kd"], default="vanilla")
     args = p.parse_args(argv)
+    if args.regime == "kd":
+        report = run_parity_kd(epochs=args.epochs,
+                               n_train_per_cat=args.n_train_per_cat,
+                               n_val_per_cat=args.n_val_per_cat,
+                               batch_size=args.batch_size,
+                               input_dim=args.input_dim)
+        print(json.dumps(report["summary"], indent=2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=2)
+            print(f"report written to {args.out}")
+        return report
     report = run_parity(epochs=args.epochs, n_train_per_cat=args.n_train_per_cat,
                         n_val_per_cat=args.n_val_per_cat,
                         batch_size=args.batch_size, input_dim=args.input_dim,

@@ -65,13 +65,16 @@ class BaselineEstimator(nn.Module):
     dtype: Any = jnp.float32
     axis_name: str | None = None
     width_mult: float = 1.0  # narrower-backbone extension (see models/vgg.py)
+    dropout_rate: float = 0.5  # VGG classifier dropout (reference vgg.py:44-52);
+    # 0 makes the student fully deterministic (cross-framework parity runs)
 
     @nn.compact
     def __call__(self, im: jnp.ndarray, train: bool = True,
                  mask: jnp.ndarray | None = None):
         img_feature = vgg11(num_classes=self.img_feature_dim, dtype=self.dtype,
                             axis_name=self.axis_name,
-                            width_mult=self.width_mult)(im, train, mask)
+                            width_mult=self.width_mult,
+                            dropout_rate=self.dropout_rate)(im, train, mask)
 
         x = img_feature
         for width in (800, 400, 200):

