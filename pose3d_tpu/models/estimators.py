@@ -106,7 +106,15 @@ class PoseEstimator(nn.Module):
 
     @nn.compact
     def __call__(self, im: jnp.ndarray, shape: jnp.ndarray, train: bool = True,
-                 mask: jnp.ndarray | None = None):
+                 mask: jnp.ndarray | None = None, view_tile: int = 1):
+        """view_tile > 1: `im` carries view_tile stacked augmentation views of
+        the same samples (KD's [im, im_flip, im_rot] concat) while `shape`
+        carries only the UNIQUE leading im.shape[0]/view_tile entries — the
+        shape encoder runs once and its features are tiled, instead of
+        encoding identical point clouds view_tile times (the KD-crd step was
+        spending a full extra 2x PointNet forward on duplicates). Only exact
+        in eval mode (running-stats BN is row-independent); the KD steps use
+        it on the FROZEN teacher only."""
         _, img_feature = resnet50(num_classes=self.img_feature_dim, dtype=self.dtype,
                                   axis_name=self.axis_name)(im, train, mask)
 
@@ -118,6 +126,9 @@ class PoseEstimator(nn.Module):
             shape_feature = ShapeEncoderMV(self.shape_feature_dim, dtype=self.dtype,
                                            axis_name=self.axis_name)(shape, train, mask)
             fused_dim = self.shape_feature_dim * self.view_num
+        if view_tile > 1:
+            assert not train, "view_tile tiling is only exact with eval-mode BN"
+            shape_feature = jnp.tile(shape_feature, (view_tile, 1))
 
         global_feature = jnp.concatenate([shape_feature, img_feature], axis=-1)
         x = DeformNet(bottleneck_size=fused_dim + self.img_feature_dim,
@@ -153,7 +164,9 @@ class PoseEstimatorVanilla(nn.Module):
 
     @nn.compact
     def __call__(self, im: jnp.ndarray, shape: jnp.ndarray, train: bool = True,
-                 mask: jnp.ndarray | None = None):
+                 mask: jnp.ndarray | None = None, view_tile: int = 1):
+        # view_tile: see PoseEstimator.__call__ — encode unique shapes once,
+        # tile the features (exact for the frozen eval-mode stage-2 teacher)
         _, img_feature = resnet18(num_classes=self.img_feature_dim, dtype=self.dtype,
                                   axis_name=self.axis_name)(im, train, mask)
 
@@ -163,6 +176,9 @@ class PoseEstimatorVanilla(nn.Module):
         else:
             shape_feature = ShapeEncoderMV(self.shape_feature_dim, dtype=self.dtype,
                                            axis_name=self.axis_name)(shape, train, mask)
+        if view_tile > 1:
+            assert not train, "view_tile tiling is only exact with eval-mode BN"
+            shape_feature = jnp.tile(shape_feature, (view_tile, 1))
 
         x = jnp.concatenate([shape_feature, img_feature], axis=-1)
         for width in (800, 400, 200):

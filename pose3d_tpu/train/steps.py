@@ -185,7 +185,6 @@ def make_kd_crd_step(
         label = jnp.concatenate(
             [batch["label"], batch["label_flip"], batch["label_rot"]], axis=0
         )
-        shapes = jnp.concatenate([batch["shape"]] * 3, axis=0)
         rng, aug_rng = jax.random.split(rng)
         if device_augment:
             from pose3d_tpu.ops.augment import device_augment as _aug
@@ -197,7 +196,12 @@ def make_kd_crd_step(
             im, train=True, mask=valid3,
             rngs={"dropout": rng}, mutable=["batch_stats"],
         )
-        t_out, _, t_feat = teacher_model.apply(teacher_vars, im, shapes, train=False)
+        # view_tile=3: the 3 augmentation views share their point clouds, so
+        # the frozen teacher's shape encoder runs once on the unique shapes
+        # and tiles its features — exact with eval-mode BN, and it removes a
+        # redundant 2x PointNet forward (2500 pts x 1024 dim) per step
+        t_out, _, t_feat = teacher_model.apply(teacher_vars, im, batch["shape"],
+                                               train=False, view_tile=3)
         # frozen teacher: identical update to the reference's
         # grads-computed-then-ignored (base_class.py:363), minus wasted FLOPs
         t_out = jax.tree.map(jax.lax.stop_gradient, t_out)
@@ -318,14 +322,14 @@ def make_stage2_step(
         label = jnp.concatenate(
             [batch["label"], batch["label_flip"], batch["label_rot"]], axis=0
         )
-        shapes = jnp.concatenate([batch["shape"]] * 3, axis=0)
-
         (s_out, _), mutated = student_model.apply(
             {"params": params, "batch_stats": batch_stats},
             im, train=True, mask=valid3,
             rngs={"dropout": rng}, mutable=["batch_stats"],
         )
-        t_out, _ = teacher_model.apply(teacher_vars, im, shapes, train=False)
+        # view_tile=3: see make_kd_crd_step — shape encoder runs once
+        t_out, _ = teacher_model.apply(teacher_vars, im, batch["shape"],
+                                       train=False, view_tile=3)
         t_out = jax.tree.map(jax.lax.stop_gradient, t_out)
 
         s_out, t_out = _f32(s_out), _f32(t_out)

@@ -184,3 +184,23 @@ def test_student_forward_jits():
 
     outputs, proj = fwd(v, x)
     assert len(outputs) == 6 and proj.shape == (2, 200)
+
+
+def test_teacher_view_tile_matches_tiled_shapes(rng):
+    """view_tile=3 (encode unique shapes once, tile features) must equal
+    feeding the tiled point clouds — exact in eval mode (running-stats BN),
+    which is how the frozen KD/stage-2 teachers run (train/steps.py)."""
+    from pose3d_tpu.models import PoseEstimator, PoseEstimatorVanilla
+
+    im = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    pc = jnp.asarray(rng.random((4, 64, 3)).astype(np.float32))
+    im3 = jnp.concatenate([im, im[:, :, ::-1], im[:, ::-1]], axis=0)
+    pc3 = jnp.concatenate([pc] * 3, axis=0)
+
+    for cls, n_out in ((PoseEstimator, 3), (PoseEstimatorVanilla, 2)):
+        model = cls(shape="PointCloud", img_feature_dim=64, shape_feature_dim=64)
+        v = model.init(jax.random.key(0), im[:1], pc[:1], train=False)
+        ref = model.apply(v, im3, pc3, train=False)
+        out = model.apply(v, im3, pc, train=False, view_tile=3)
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
