@@ -202,5 +202,29 @@ def test_teacher_view_tile_matches_tiled_shapes(rng):
         v = model.init(jax.random.key(0), im[:1], pc[:1], train=False)
         ref = model.apply(v, im3, pc3, train=False)
         out = model.apply(v, im3, pc, train=False, view_tile=3)
+        # reduction-order noise only: the encoder runs at a different batch
+        # size, and the virtual-8-device CPU build partitions reduces
+        # differently per shape (~1e-17 absolute)
         for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-9)
+
+
+def test_teacher_view_tile_matches_tiled_shapes_multiview(rng):
+    """Same view_tile exactness for the MultiView teacher: the tiled feature
+    is the flattened (N, K*fdim) render embedding."""
+    from pose3d_tpu.models import PoseEstimator
+
+    im = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    rend = jnp.asarray(rng.standard_normal((2, 3, 24, 24, 3)).astype(np.float32))
+    im3 = jnp.concatenate([im, im[:, :, ::-1], im[:, ::-1]], axis=0)
+    rend3 = jnp.concatenate([rend] * 3, axis=0)
+
+    model = PoseEstimator(shape="MultiView", view_num=3, img_feature_dim=32,
+                          shape_feature_dim=8)
+    v = model.init(jax.random.key(0), im[:1], rend[:1], train=False)
+    ref = model.apply(v, im3, rend3, train=False)
+    out = model.apply(v, im3, rend, train=False, view_tile=3)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-9)
