@@ -78,6 +78,16 @@ from pose3d_tpu.data.transforms import (  # noqa: F401
 # trainer (KD/ names)
 from pose3d_tpu.train.trainer import KDTrainer as VanillaKD  # noqa: F401
 
+# evaluation library (evaluation.py names, imported by training.py:15,
+# trainingKD.py:19, KD/common/base_class.py:15)
+from pose3d_tpu.train.evaluation_api import (  # noqa: F401
+    val,
+    val_new,
+    test_category,
+    test_category_training,
+    test_category_training_new,
+)
+
 
 def infoNCE(feat_ori, feat_pos, tau=0.1):
     """model_utils.py:169 name."""

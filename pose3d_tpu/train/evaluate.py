@@ -66,17 +66,16 @@ def evaluate_categories(
         all_preds.append(preds)
         all_labels.append(labels)
         all_cats.append(np.asarray(batch["cat_id"])[valid])
-        if "per_sample_loss" in metrics:
-            # exact masking of padded tail rows
-            losses.append(float(np.sum(np.asarray(metrics["per_sample_loss"])[valid])))
-        else:
-            losses.append(float(metrics["loss"]) * valid.sum())
+        # exact masking of padded tail rows; per_sample_loss is required — a
+        # batch-mean fallback weighted by valid count would be inexact on
+        # padded tails (the mean includes padded rows)
+        losses.append(float(np.sum(np.asarray(metrics["per_sample_loss"])[valid])))
         if "per_sample_nce" in metrics:
             # per-sample NCE with padded keys masked inside the step — padded
             # rows contribute neither negatives nor mean mass
             nces.append(float(np.sum(np.asarray(metrics["per_sample_nce"])[valid])))
         else:
-            nces.append(float(metrics.get("nce_loss", 0.0)) * valid.sum())
+            nces.append(0.0)
         counts.append(valid.sum())
 
     preds = np.concatenate(all_preds)

@@ -24,20 +24,26 @@ def _run(loader, model, variables, bin_size, kind, want_nce=False):
     preds, labels, losses, nces, counts = [], [], [], [], []
     for batch in loader:
         valid = np.asarray(batch.get("valid", np.ones(len(batch["label"]), bool)))
-        feed = {k: jnp.asarray(batch[k]) for k in ("im", "shape", "label")
+        feed = {k: jnp.asarray(batch[k]) for k in ("im", "shape", "label", "valid")
                 if k in batch}
         m = eval_step(variables, feed)
         preds.append(np.asarray(m["pred"])[valid])
         labels.append(np.asarray(batch["label"])[valid])
-        n = int(valid.sum())
-        losses.append(float(m["loss"]) * n)
-        nces.append(float(m.get("nce_loss", 0.0)) * n)
-        counts.append(n)
+        # exact masked per-sample sums (same reduction as evaluate_categories —
+        # a batch-mean weighted by valid count would be inexact on padded tails)
+        losses.append(float(np.sum(np.asarray(m["per_sample_loss"])[valid])))
+        if want_nce:
+            if "per_sample_nce" not in m:
+                raise ValueError(
+                    f"eval step for kind={kind!r} emits no contrastive loss; "
+                    "val_new needs kind='teacher' (fused+img_proj outputs)")
+            nces.append(float(np.sum(np.asarray(m["per_sample_nce"])[valid])))
+        counts.append(int(valid.sum()))
     preds = np.concatenate(preds) if preds else np.zeros((0, 3))
     labels = np.concatenate(labels) if labels else np.zeros((0, 3), np.int32)
     total = max(int(np.sum(counts)), 1)
     loss = float(np.sum(losses)) / total
-    nce = float(np.sum(nces)) / total
+    nce = float(np.sum(nces)) / total if want_nce else 0.0
     if len(preds):
         acc = float(geometry.rotation_acc(jnp.asarray(preds),
                                           jnp.asarray(labels.astype(np.float32))))
@@ -80,4 +86,16 @@ def test_category(loader, model, variables, bin_size, cat, dataset_name,
 def test_category_training(loader, model, variables, bin_size, cat, kind="student"):
     """evaluation.py:142-157 parity."""
     acc, med, _ = test_category(loader, model, variables, bin_size, cat, "", kind=kind)
+    return acc, med
+
+
+def test_category_training_new(loader, model, variables, bin_size, cat,
+                               kind="teacher"):
+    """evaluation.py:160-175 parity: the val_new-arity variant for teacher
+    models returning (outputs, fused, img_proj)."""
+    _, _, preds, labels, _ = val_new(loader, model, variables, bin_size, kind)
+    errs = np.asarray(geometry.rotation_err(
+        jnp.asarray(preds), jnp.asarray(labels.astype(np.float32))))
+    acc = 100.0 * float(np.mean(errs <= 30)) if len(errs) else 0.0
+    med = float(np.median(errs)) if len(errs) else 0.0
     return acc, med
