@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--batch_size", type=int, default=46)
     ap.add_argument("--host_augment", type=int, default=1)
+    ap.add_argument("--device_views", action="store_true",
+                    help="emit ONE raw view per sample (flip/rot synthesized "
+                         "on-device) — the --device_views loader workload")
     args = ap.parse_args()
 
     n_per_cat = 60 if args.quick else 150
@@ -57,9 +60,10 @@ def main() -> None:
             root, "ObjectNet3D.txt", train=True, shape="PointCloud",
             shape_dir="pointcloud", point_num=2500, input_dim=224,
             host_augment=bool(args.host_augment),
+            device_views=args.device_views,
         )
         print(f"dataset: {len(ds)} samples, host_augment={bool(args.host_augment)}, "
-              f"bs={args.batch_size}")
+              f"device_views={args.device_views}, bs={args.batch_size}")
 
         configs = [
             ("sync", lambda: loader.DataLoader(

@@ -64,6 +64,29 @@ def build_step(piece: str, bk: int, img: int):
             return state, m["loss"]
 
         return run, sstate
+    if piece in ("teacher_step", "teacher_step_fused"):
+        # BASELINE config 3: teacher train step, bs 160 (override with --batch)
+        if piece == "teacher_step_fused":
+            teacher = PoseEstimator(shape="PointCloud", img_feature_dim=1024,
+                                    shape_feature_dim=1024, dtype=jnp.bfloat16,
+                                    use_fused_pointnet=True)
+        bt = bk if bk != 46 else 160
+        imt = jnp.asarray(rng.standard_normal((bt, img, img, 3)).astype(np.float32))
+        pct = jnp.asarray(rng.random((bt, 2500, 3)).astype(np.float32))
+        labt = jnp.asarray(np.stack(
+            [rng.integers(0, 360, bt), rng.integers(0, 180, bt),
+             rng.integers(0, 360, bt)], 1).astype(np.int32))
+        tstate = create_train_state(teacher, (imt[:1], pct[:1]),
+                                    jax.random.key(2), torch_style_adam(1e-4))
+        tstep = jax.jit(steps_lib.make_teacher_train_step(teacher),
+                        donate_argnums=(0,))
+        batch = {"im": imt, "shape": pct, "label": labt}
+
+        def run(state):
+            state, m = tstep(state, batch)
+            return state, m["loss"]
+
+        return run, tstate
     if piece == "student_fwdbwd":
         b3 = 3 * bk
         im3 = jnp.concatenate([im] * 3, axis=0)
@@ -94,7 +117,8 @@ def build_step(piece: str, bk: int, img: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--piece", default="kd_step",
-                    choices=["kd_step", "student_fwdbwd"])
+                    choices=["kd_step", "student_fwdbwd", "teacher_step",
+                             "teacher_step_fused"])
     ap.add_argument("--batch", type=int, default=46)
     ap.add_argument("--img", type=int, default=224)
     ap.add_argument("--steps", type=int, default=5)

@@ -46,11 +46,26 @@ def _time(fn, *args, steps=10):
     return (time.perf_counter() - t0) / steps
 
 
-def emit(metric, value, unit, baseline=None):
+def emit(metric, value, unit, baseline=None, **extra):
     rec = {"metric": metric, "value": round(value, 2), "unit": unit}
     if baseline:
         rec["vs_baseline"] = round(value / baseline, 3)
+    rec.update(extra)
     print(json.dumps(rec), flush=True)
+
+
+def _peak_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    return 275e12 if "v4" in kind else 197e12
+
+
+def _step_flops(jitted, *args):
+    """XLA's own cost analysis for a compiled step (not hand-counted)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main(argv=None):
@@ -114,9 +129,12 @@ def main(argv=None):
         tbox[0], m = tstep(tbox[0], b)
         return m["loss"]
 
+    tflops = _step_flops(tstep, tbox[0], batch)
     dt = _time(run_tstep, batch, steps=steps)
     emit("teacher_train_img_per_s", bt / dt, "img/s")
-    emit("teacher_train_step_ms", dt * 1000, "ms")
+    emit("teacher_train_step_ms", dt * 1000, "ms",
+         step_tflops=round(tflops / 1e12, 3),
+         mfu=round(tflops / dt / _peak_flops(), 3))
 
     # 4. KD train step (BASELINE config 4: bs 46, 3x views)
     bk = 46
@@ -135,9 +153,56 @@ def main(argv=None):
         sbox[0], m = kstep(sbox[0], tv_, b)
         return m["loss"]
 
+    kflops = _step_flops(kstep, sbox[0], tv, kd_batch)
     dt = _time(run_kstep, tv, kd_batch, steps=steps)
-    emit("kd_train_samples_per_s", bk / dt, "samples/s")
+    emit("kd_train_samples_per_s", bk / dt, "samples/s",
+         step_tflops=round(kflops / 1e12, 3),
+         mfu=round(kflops / dt / _peak_flops(), 3))
     emit("kd_train_step_ms", dt * 1000, "ms")
+
+    # 5. stage-1 step (both models training, base_class.py:451-569; bs 46)
+    from pose3d_tpu.models import PoseEstimatorVanilla
+
+    vanilla = PoseEstimatorVanilla(shape="PointCloud", img_feature_dim=1024,
+                                   shape_feature_dim=1024, dtype=dtype)
+    vstate = create_train_state(vanilla, (imk[:1], pck[:1]), jax.random.key(4),
+                                torch_style_adam(1e-4))
+    s1state = create_train_state(student, (imk[:1],), jax.random.key(5),
+                                 torch_style_adam(1e-4))
+    s1_batch = {"im": imk, "shape": pck, "label": labk}
+    s1step = jax.jit(steps_lib.make_stage1_step(vanilla, student),
+                     donate_argnums=(0, 1))
+    s1box = [vstate, s1state]
+
+    def run_s1(b):
+        s1box[0], s1box[1], m = s1step(s1box[0], s1box[1], b)
+        return m["loss"]
+
+    s1flops = _step_flops(s1step, s1box[0], s1box[1], s1_batch)
+    dt = _time(run_s1, s1_batch, steps=steps)
+    emit("stage1_train_samples_per_s", bk / dt, "samples/s",
+         step_tflops=round(s1flops / 1e12, 3),
+         mfu=round(s1flops / dt / _peak_flops(), 3))
+    emit("stage1_train_step_ms", dt * 1000, "ms")
+
+    # 6. stage-2 step (frozen vanilla teacher, 3 views, base_class.py:571-688)
+    v_eval_vars = {"params": s1box[0].params, "batch_stats": s1box[0].batch_stats}
+    s2state = create_train_state(student, (imk[:1],), jax.random.key(6),
+                                 torch_style_adam(1e-4))
+    s2step = jax.jit(steps_lib.make_stage2_step(student, vanilla),
+                     donate_argnums=(0,))
+    s2box = [s2state]
+
+    def run_s2(v_, b):
+        s2box[0], m = s2step(s2box[0], v_, b)
+        return m["loss"]
+
+    s2flops = _step_flops(s2step, s2box[0], v_eval_vars, kd_batch)
+    dt = _time(run_s2, v_eval_vars, kd_batch, steps=steps)
+    emit("stage2_train_samples_per_s", bk / dt, "samples/s",
+         step_tflops=round(s2flops / 1e12, 3),
+         mfu=round(s2flops / dt / _peak_flops(), 3))
+    emit("stage2_train_step_ms", dt * 1000, "ms")
 
 
 if __name__ == "__main__":
