@@ -102,7 +102,8 @@ def _to_torch(batch):
 
 def make_torch_eval_step(tmodel, bin_size=15):
     """Wrap the torch model as an evaluate_categories eval_step so both
-    frameworks share the metric/reduction code exactly."""
+    frameworks share the metric/reduction code exactly. Handles both the
+    vanilla 2-tuple and the teacher 3-tuple output arities."""
     import torch
 
     import jax.numpy as jnp
@@ -115,7 +116,7 @@ def make_torch_eval_step(tmodel, bin_size=15):
             im, shp, _ = _to_torch({k: np.asarray(v) for k, v in batch.items()
                                     if k in ("im", "shape", "label")} |
                                    {"label": np.asarray(batch["label"])})
-            out, _ = tmodel(im, shp)
+            out = tmodel(im, shp)[0]
             outs = [jnp.asarray(o.numpy().astype(np.float32)) for o in out]
         preds = geometry.decode_predictions(tuple(outs[:3]), tuple(outs[3:]),
                                             bin_size)
@@ -333,6 +334,7 @@ def run_parity_kd(
     shape_feature_dim: int = 64,
     lr: float = 1e-4,
     seed: int = 46,
+    data_root: str | None = None,
     verbose: bool = True,
 ) -> dict:
     """Trajectory parity on the KD --crd regime (base_class.py:303-449 +
@@ -357,11 +359,17 @@ def run_parity_kd(
     from pose3d_tpu.train.torch_import import load_torch_variables
 
     torch.manual_seed(seed)
-    tmp = tempfile.mkdtemp(prefix="parity_kd_")
-    root = os.path.join(tmp, "ObjectNet3D")
-    synthetic.make_objectnet3d_fixture(
-        root, n_train_per_cat=n_train_per_cat, n_val_per_cat=n_val_per_cat,
-        image_size=max(96, input_dim), seed=seed)
+    # real-data pre-wiring: pass --data_root pointing at a real ObjectNet3D
+    # layout (docs/DATA.md) and the run uses it unchanged; otherwise a
+    # synthetic fixture is generated
+    if data_root is None:
+        data_root = tempfile.mkdtemp(prefix="parity_kd_")
+    root = os.path.join(data_root, "ObjectNet3D")
+    if not os.path.exists(os.path.join(root, "ObjectNet3D.txt")):
+        synthetic.make_objectnet3d_fixture(
+            root, n_train_per_cat=n_train_per_cat, n_val_per_cat=n_val_per_cat,
+            image_size=max(96, input_dim), seed=seed)
+    tmp = tempfile.mkdtemp(prefix="parity_kd_ckpt_")
 
     common = dict(shape="PointCloud", shape_dir="pointcloud",
                   input_dim=input_dim, point_num=point_num)
@@ -495,6 +503,300 @@ def run_parity_kd(
     return report
 
 
+# --------------------------------------------------------------------------
+# Teacher regime (flagship contrastive teacher loop, training.py:50-59)
+# --------------------------------------------------------------------------
+
+def _torch_info_nce_kd(feat_ori, feat_pos, tau=0.1):
+    """Reference infoNCE_KD (model_utils.py:263-285) minus the p=0.3 teacher
+    dropout (disabled on both sides for determinism — the reference module
+    itself is unimportable here: model_utils.py:67/118 call .cuda() at import
+    time on a CUDA-less host)."""
+    import torch
+
+    feat_ori = torch.nn.functional.normalize(feat_ori, dim=-1)
+    feat_pos = torch.nn.functional.normalize(feat_pos, dim=-1)
+    l_pos = torch.exp(torch.sum(feat_ori * feat_pos, -1, keepdim=True) / tau)
+    l_neg = torch.exp(feat_ori @ feat_pos.t() / tau)
+    logits = torch.cat([l_pos, l_neg], dim=1)
+    return (-torch.log(logits[:, 0] / torch.sum(logits, -1))).mean()
+
+
+def run_parity_teacher(
+    epochs: int = 4,
+    n_train_per_cat: int = 16,
+    n_val_per_cat: int = 6,
+    batch_size: int = 8,
+    input_dim: int = 64,
+    point_num: int = 64,
+    img_feature_dim: int = 128,
+    shape_feature_dim: int = 64,
+    lr: float = 1e-4,
+    seed: int = 46,
+    data_root: str | None = None,
+    verbose: bool = True,
+) -> dict:
+    """Trajectory parity on the flagship contrastive-teacher regime
+    (training.py:26-88: 4-term pose loss + 0.5*infoNCE tau=0.1): reference
+    torch PoseEstimator vs pose3d_tpu PoseEstimator, identical init (torch
+    export -> flax import), identical batch stream, identical optimizer.
+    NCE teacher-dropout is disabled on both sides (the one rng stream that
+    cannot be matched cross-framework); neither model has any other dropout,
+    so both trajectories are deterministic. This is the path where global-
+    batch NCE and sync-BN-under-DP make the rebuild's dynamics most different
+    from torch per-GPU BN — f32 CPU vs f32 CPU isolates the math."""
+    _force_cpu()
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from pose3d_tpu.data import synthetic
+    from pose3d_tpu.data.datasets import Pascal3D
+    from pose3d_tpu.data.loader import DataLoader
+    from pose3d_tpu.models import PoseEstimator
+    from pose3d_tpu.train import create_train_state, steps, torch_style_adam
+    from pose3d_tpu.train.evaluate import evaluate_categories
+    from pose3d_tpu.train.torch_import import load_torch_variables
+
+    torch.manual_seed(seed)
+    # real-data pre-wiring: see run_parity_kd
+    if data_root is None:
+        data_root = tempfile.mkdtemp(prefix="parity_teacher_")
+    root = os.path.join(data_root, "ObjectNet3D")
+    if not os.path.exists(os.path.join(root, "ObjectNet3D.txt")):
+        synthetic.make_objectnet3d_fixture(
+            root, n_train_per_cat=n_train_per_cat, n_val_per_cat=n_val_per_cat,
+            image_size=max(96, input_dim), seed=seed)
+    tmp = tempfile.mkdtemp(prefix="parity_teacher_ckpt_")
+
+    common = dict(shape="PointCloud", shape_dir="pointcloud",
+                  input_dim=input_dim, point_num=point_num)
+    ds_train = Pascal3D(root, "ObjectNet3D.txt", train=True, **common)
+    ds_val = Pascal3D(root, "ObjectNet3D.txt", train=False, random=False, **common)
+    cats = ds_val.category_names
+    train_loader = DataLoader(ds_train, batch_size, shuffle=True,
+                              drop_last=True, num_workers=0, seed=seed)
+    val_batches = list(DataLoader(ds_val, batch_size, shuffle=False,
+                                  num_workers=0))
+
+    sys.path.insert(0, "/root/reference")
+    from auxiliary.model import PoseEstimator as TorchTeacher  # type: ignore
+
+    tmodel = TorchTeacher(img_feature_dim=img_feature_dim,
+                          shape_feature_dim=shape_feature_dim,
+                          azi_classes=24, ele_classes=12, inp_classes=24,
+                          shape="PointCloud")
+    _torch_kaiming_init(tmodel)
+    pth = os.path.join(tmp, "teacher_init.pth")
+    torch.save({"model": tmodel.state_dict()}, pth)
+
+    jmodel = PoseEstimator(shape="PointCloud", img_feature_dim=img_feature_dim,
+                           shape_feature_dim=shape_feature_dim)
+    im_ex = jnp.zeros((1, input_dim, input_dim, 3))
+    pc_ex = jnp.zeros((1, point_num, 3))
+    state = create_train_state(jmodel, (im_ex, pc_ex), jax.random.key(seed),
+                               torch_style_adam(lr, 5e-4))
+    variables = load_torch_variables(pth, {"params": state.params,
+                                           "batch_stats": state.batch_stats})
+    state = state.replace(params=variables["params"],
+                          batch_stats=variables["batch_stats"])
+
+    topt = torch.optim.Adam(tmodel.parameters(), lr=lr, weight_decay=5e-4)
+    # nce_dropout=0.0: deterministic NCE on both sides
+    jstep = jax.jit(steps.make_teacher_train_step(jmodel, nce_dropout=0.0))
+    jeval = jax.jit(steps.make_eval_step(jmodel, "teacher"))
+    teval = make_torch_eval_step(tmodel)
+
+    def eval_both():
+        jvars = {"params": state.params, "batch_stats": state.batch_stats}
+        rj = evaluate_categories(jeval, jvars, iter(val_batches), cats)
+        rt = evaluate_categories(teval, None, iter(val_batches), cats)
+        return rt, rj
+
+    rt0, rj0 = eval_both()
+    err_gap0 = float(np.max(np.abs(rt0.errors - rj0.errors)))
+    report = {"regime": "teacher", "epoch0": {
+        "torch_acc": rt0.sample_acc, "jax_acc": rj0.sample_acc,
+        "max_err_gap_deg": err_gap0}, "epochs": []}
+    if verbose:
+        print(f"[teacher] epoch 0 (identical init): torch acc "
+              f"{rt0.sample_acc:.2f} jax acc {rj0.sample_acc:.2f}  max "
+              f"per-sample err gap {err_gap0:.2e} deg")
+
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        batches = list(train_loader)
+
+        tmodel.train()
+        tlosses, tnces = [], []
+        for b in batches:
+            im, shp, label = _to_torch(b)
+            out, fused, img_feat = tmodel(im, shp)
+            gt = _torch_pose_loss(out, label)
+            nce = _torch_info_nce_kd(img_feat, fused, tau=0.1)
+            loss = gt + 0.5 * nce  # training.py:56-58
+            topt.zero_grad()
+            loss.backward()
+            topt.step()
+            tlosses.append(float(loss.detach()))
+            tnces.append(float(nce.detach()))
+
+        jlosses, jnces = [], []
+        for b in batches:
+            jb = {"im": jnp.asarray(b["im"]), "shape": jnp.asarray(b["shape"]),
+                  "label": jnp.asarray(b["label"])}
+            state, metrics = jstep(state, jb)
+            jlosses.append(float(metrics["loss"]))
+            jnces.append(float(metrics["nce_loss"]))
+
+        rt, rj = eval_both()
+        row = {"epoch": epoch,
+               "torch_train_loss": float(np.mean(tlosses)),
+               "jax_train_loss": float(np.mean(jlosses)),
+               "torch_nce": float(np.mean(tnces)),
+               "jax_nce": float(np.mean(jnces)),
+               "torch_val_acc": rt.sample_acc, "jax_val_acc": rj.sample_acc}
+        row["train_loss_rel_gap"] = (
+            abs(row["torch_train_loss"] - row["jax_train_loss"])
+            / max(abs(row["torch_train_loss"]), 1e-9))
+        row["nce_rel_gap"] = (abs(row["torch_nce"] - row["jax_nce"])
+                              / max(abs(row["torch_nce"]), 1e-9))
+        row["val_acc_gap"] = abs(row["torch_val_acc"] - row["jax_val_acc"])
+        report["epochs"].append(row)
+        if verbose:
+            print(f"[teacher] epoch {epoch}: train loss torch "
+                  f"{row['torch_train_loss']:.4f} jax "
+                  f"{row['jax_train_loss']:.4f} (rel gap "
+                  f"{row['train_loss_rel_gap']:.3%}) | nce rel gap "
+                  f"{row['nce_rel_gap']:.3%} | val acc torch "
+                  f"{row['torch_val_acc']:.2f} jax {row['jax_val_acc']:.2f}")
+
+    last = report["epochs"][-1]
+    report["summary"] = {
+        "epoch0_max_err_gap_deg": err_gap0,
+        "final_train_loss_rel_gap": last["train_loss_rel_gap"],
+        "final_nce_rel_gap": last["nce_rel_gap"],
+        "final_val_acc_gap": last["val_acc_gap"],
+        "max_val_acc_gap": max(r["val_acc_gap"] for r in report["epochs"]),
+    }
+    return report
+
+
+# --------------------------------------------------------------------------
+# bf16-vs-f32 trajectory drift (production-dtype dynamics evidence)
+# --------------------------------------------------------------------------
+
+def run_bf16_drift(
+    epochs: int = 3,
+    n_train_per_cat: int = 16,
+    n_val_per_cat: int = 6,
+    batch_size: int = 6,
+    input_dim: int = 64,
+    point_num: int = 64,
+    img_feature_dim: int = 128,
+    shape_feature_dim: int = 64,
+    lr: float = 1e-4,
+    seed: int = 46,
+    platform: str | None = "cpu",
+    verbose: bool = True,
+) -> dict:
+    """Quantifies the ONE numerics axis where the production TPU path differs
+    from every cross-framework parity run above: bfloat16 compute
+    (models dtype=bf16, params/losses f32 — the --bf16 production config) vs
+    full f32, pose3d_tpu vs itself on the KD --crd regime. Identical init,
+    identical batch stream, identical rng streams — the per-epoch gaps below
+    are PURE dtype drift. Runs on CPU by default (platform=None keeps the
+    default device, e.g. the TPU chip)."""
+    if platform == "cpu":
+        _force_cpu()
+    import jax
+    import jax.numpy as jnp
+
+    from pose3d_tpu.data import synthetic
+    from pose3d_tpu.data.datasets import Pascal3DContrast
+    from pose3d_tpu.data.loader import DataLoader
+    from pose3d_tpu.models import BaselineEstimator, PoseEstimator
+    from pose3d_tpu.train import create_train_state, steps, torch_style_adam
+    from pose3d_tpu.train.evaluate import evaluate_categories
+
+    tmp = tempfile.mkdtemp(prefix="bf16_drift_")
+    root = os.path.join(tmp, "ObjectNet3D")
+    synthetic.make_objectnet3d_fixture(
+        root, n_train_per_cat=n_train_per_cat, n_val_per_cat=n_val_per_cat,
+        image_size=max(96, input_dim), seed=seed)
+
+    common = dict(shape="PointCloud", shape_dir="pointcloud",
+                  input_dim=input_dim, point_num=point_num)
+    ds_train = Pascal3DContrast(root, "ObjectNet3D.txt", train=True,
+                                seed=seed, **common)
+    ds_val = Pascal3DContrast(root, "ObjectNet3D.txt", train=False, **common)
+    cats = ds_val.category_names
+    train_loader = DataLoader(ds_train, batch_size, shuffle=True,
+                              drop_last=True, num_workers=0, seed=seed)
+    val_batches = list(DataLoader(ds_val, batch_size, shuffle=False,
+                                  num_workers=0))
+
+    im_ex = jnp.zeros((1, input_dim, input_dim, 3))
+    pc_ex = jnp.zeros((1, point_num, 3))
+
+    sides = {}
+    for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        student = BaselineEstimator(img_feature_dim=img_feature_dim, dtype=dtype)
+        teacher = PoseEstimator(shape="PointCloud",
+                                img_feature_dim=img_feature_dim,
+                                shape_feature_dim=shape_feature_dim, dtype=dtype)
+        # params are f32 in BOTH configs (param_dtype=f32); identical keys
+        # give bit-identical initial params — dtype only changes compute
+        state = create_train_state(student, (im_ex,), jax.random.key(seed),
+                                   torch_style_adam(lr, 5e-4))
+        tv = teacher.init(jax.random.key(seed + 1), im_ex, pc_ex, train=False)
+        sides[name] = dict(
+            state=state, tv=tv,
+            step=jax.jit(steps.make_kd_crd_step(student, teacher)),
+            eval_step=jax.jit(steps.make_eval_step(student, "student")))
+
+    keys = ("im", "shape", "label", "im_flip", "label_flip", "im_rot",
+            "label_rot")
+    report = {"regime": "bf16_drift", "platform": platform or "default",
+              "epochs": []}
+    for epoch in range(epochs):
+        train_loader.set_epoch(epoch)
+        batches = list(train_loader)
+        losses = {"f32": [], "bf16": []}
+        for name, side in sides.items():
+            for b in batches:
+                jb = {k: jnp.asarray(b[k]) for k in keys}
+                side["state"], m = side["step"](side["state"], side["tv"], jb)
+                losses[name].append(float(m["loss"]))
+        accs = {}
+        for name, side in sides.items():
+            jvars = {"params": side["state"].params,
+                     "batch_stats": side["state"].batch_stats}
+            accs[name] = evaluate_categories(
+                side["eval_step"], jvars, iter(val_batches), cats).sample_acc
+        f32l, bf16l = np.mean(losses["f32"]), np.mean(losses["bf16"])
+        row = {"epoch": epoch,
+               "f32_train_loss": float(f32l), "bf16_train_loss": float(bf16l),
+               "train_loss_rel_gap": float(abs(f32l - bf16l) / max(abs(f32l), 1e-9)),
+               "f32_val_acc": accs["f32"], "bf16_val_acc": accs["bf16"],
+               "val_acc_gap": float(abs(accs["f32"] - accs["bf16"]))}
+        report["epochs"].append(row)
+        if verbose:
+            print(f"[bf16] epoch {epoch}: train loss f32 {f32l:.4f} bf16 "
+                  f"{bf16l:.4f} (rel gap {row['train_loss_rel_gap']:.3%}) | "
+                  f"val acc f32 {accs['f32']:.2f} bf16 {accs['bf16']:.2f}")
+
+    last = report["epochs"][-1]
+    report["summary"] = {
+        "final_train_loss_rel_gap": last["train_loss_rel_gap"],
+        "max_train_loss_rel_gap": max(r["train_loss_rel_gap"]
+                                      for r in report["epochs"]),
+        "final_val_acc_gap": last["val_acc_gap"],
+        "max_val_acc_gap": max(r["val_acc_gap"] for r in report["epochs"]),
+    }
+    return report
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=6)
@@ -505,25 +807,30 @@ def main(argv=None):
     p.add_argument("--img_feature_dim", type=int, default=64)
     p.add_argument("--shape_feature_dim", type=int, default=32)
     p.add_argument("--out", type=str, default=None)
-    p.add_argument("--regime", choices=["vanilla", "kd"], default="vanilla")
+    p.add_argument("--regime", choices=["vanilla", "kd", "teacher", "bf16_drift"],
+                   default="vanilla")
+    p.add_argument("--platform", type=str, default="cpu",
+                   help="bf16_drift only: 'cpu' forces CPU, 'default' keeps "
+                        "the ambient device (e.g. the TPU chip)")
+    p.add_argument("--data_root", type=str, default=None,
+                   help="real-data pre-wiring: a directory containing a real "
+                        "ObjectNet3D layout (docs/DATA.md) — used unchanged; "
+                        "omit to generate a synthetic fixture")
     args = p.parse_args(argv)
+    sub = dict(epochs=args.epochs, n_train_per_cat=args.n_train_per_cat,
+               n_val_per_cat=args.n_val_per_cat, batch_size=args.batch_size,
+               input_dim=args.input_dim)
     if args.regime == "kd":
-        report = run_parity_kd(epochs=args.epochs,
-                               n_train_per_cat=args.n_train_per_cat,
-                               n_val_per_cat=args.n_val_per_cat,
-                               batch_size=args.batch_size,
-                               input_dim=args.input_dim)
-        print(json.dumps(report["summary"], indent=2))
-        if args.out:
-            with open(args.out, "w") as f:
-                json.dump(report, f, indent=2)
-            print(f"report written to {args.out}")
-        return report
-    report = run_parity(epochs=args.epochs, n_train_per_cat=args.n_train_per_cat,
-                        n_val_per_cat=args.n_val_per_cat,
-                        batch_size=args.batch_size, input_dim=args.input_dim,
-                        img_feature_dim=args.img_feature_dim,
-                        shape_feature_dim=args.shape_feature_dim)
+        report = run_parity_kd(**sub, data_root=args.data_root)
+    elif args.regime == "teacher":
+        report = run_parity_teacher(**sub, data_root=args.data_root)
+    elif args.regime == "bf16_drift":
+        report = run_bf16_drift(
+            **sub, platform=None if args.platform == "default" else "cpu")
+    else:
+        report = run_parity(**sub, img_feature_dim=args.img_feature_dim,
+                            shape_feature_dim=args.shape_feature_dim,
+                            data_root=args.data_root)
     print(json.dumps(report["summary"], indent=2))
     if args.out:
         with open(args.out, "w") as f:

@@ -131,6 +131,43 @@ def test_annotation_filtering(fixture_root):
     assert set(only.cat) == {"bed"}
 
 
+def test_real_objectnet3d_column_order_parses(fixture_root, tmp_path):
+    """Real-data pre-wiring (VERDICT r2 #7): the PUBLISHED ObjectNet3D.txt
+    column ORDER differs from the synthetic fixture's — the reference reads
+    labels positionally (`iloc[idx, 9:12]`, dataset.py:237), which pins the
+    real file to azimuth/elevation/inplane at columns 9:12:
+
+      im_path,cat,source,set,has_keypoints,truncated,occluded,difficult,
+      cad_index,azimuth,elevation,inplane_rotation,left,upper,right,lower
+
+    This framework reads every column BY NAME, so the real file must parse
+    to the same frame as the fixture order — asserted here by rewriting the
+    fixture's annotation CSV into the real order (plus the real 'source'
+    column that this framework ignores) and comparing filter output."""
+    import pandas as pd
+
+    fixture = pd.read_csv(os.path.join(fixture_root, "ObjectNet3D.txt"))
+    real_order = ["im_path", "cat", "source", "set", "has_keypoints",
+                  "truncated", "occluded", "difficult", "cad_index",
+                  "azimuth", "elevation", "inplane_rotation",
+                  "left", "upper", "right", "lower"]
+    real = fixture.copy()
+    real["source"] = "real"
+    real = real[real_order]
+    # the reference's positional invariant holds in this order
+    assert list(real.columns[9:12]) == anno.LABEL_COLS
+    real_root = str(tmp_path / "real")
+    os.makedirs(real_root)
+    real.to_csv(os.path.join(real_root, "ObjectNet3D.txt"), index=False)
+
+    got = anno.pascal3d_frame(real_root, "ObjectNet3D.txt", train=True)
+    want = anno.pascal3d_frame(fixture_root, "ObjectNet3D.txt", train=True)
+    assert len(got) == len(want)
+    for col in ("im_path", "cat", "cad_index", "left", "upper", "right",
+                "lower", *anno.LABEL_COLS):
+        assert (got[col].values == want[col].values).all(), col
+
+
 def test_fewshot_sampling(fixture_root):
     fs = anno.pascal3d_frame(fixture_root, "ObjectNet3D.txt", train=True, shot=2, seed=0)
     counts = fs.groupby("cat").size()
