@@ -68,6 +68,11 @@ def parse_args(argv=None):
                         help="run photometric augs + normalize on-device "
                              "(loader emits raw pixels; fixes the GIL-bound "
                              "host bottleneck, docs/PERF.md)")
+    parser.add_argument("--device_views", action="store_true",
+                        help="synthesize the flip/rot contrast views on-device"
+                             " from ONE host-decoded crop (~3x less host work"
+                             " per sample; implies --device_augment; --crd and"
+                             " --stage 2 only)")
     parser.add_argument("--export_torch", type=str, default=None,
                         help="also write the final student as a reference-"
                              "loadable PyTorch .pth at this path")
@@ -105,6 +110,14 @@ def main(argv=None):
     dataset_train, dataset_eval = common.build_kd_datasets(opt)
     if opt.device_augment and hasattr(dataset_train, "host_augment"):
         dataset_train.host_augment = False
+    if opt.device_views:
+        if opt.stage == 1:
+            raise SystemExit("--device_views applies to the 3-view regimes "
+                             "(--crd / --stage 2), not --stage 1")
+        if not hasattr(dataset_train, "device_views"):
+            raise SystemExit("--device_views: this dataset emits no contrast "
+                             "views")
+        dataset_train.device_views = True
     # eval for the student path is RGB-only regardless of teacher shape
     train_loader = common.make_train_loader(dataset_train, opt)
     eval_loader = DataLoader(dataset_eval, opt.batch_size, shuffle=False,
@@ -150,7 +163,15 @@ def main(argv=None):
                             tau=opt.tau, mesh=mesh, teacher_state=teacher_state)
         trainer.profile_dir = opt.profile_dir
         n = opt.n_epoch or EPOCHS["stage1"]
-        best = trainer.fit_stage1(n, use_memory_bank=opt.use_memory_bank,
+        start_epoch = 0
+        if opt.resume:
+            latest = trainer.ckpt.latest_epoch()
+            if latest is not None:
+                # fit_stage1 restores teacher+student+memory bank itself
+                start_epoch = latest + 1
+                print(f"resuming stage 1 from epoch {latest}")
+        best = trainer.fit_stage1(n, start_epoch=start_epoch,
+                                  use_memory_bank=opt.use_memory_bank,
                                   memory_bank_size=opt.memory_bank_size)
     else:
         if opt.stage == 2:
@@ -174,7 +195,8 @@ def main(argv=None):
                             train_loader, eval_loader, dataset_eval.category_names,
                             result_path, bin_size=opt.bin_size,
                             temperature=opt.temperature, tau=opt.tau, mesh=mesh,
-                            device_augment=opt.device_augment)
+                            device_augment=opt.device_augment,
+                            device_views=opt.device_views)
         trainer.profile_dir = opt.profile_dir
         start_epoch = 0
         if opt.resume:

@@ -183,7 +183,8 @@ class Pascal3DContrast(_PascalBase):
                  shape_dir="Renders_semi_sphere", random=False, novel=False,
                  keypoint=True, train=True, cat_choice=None, random_model=False,
                  view_num=12, tour=2, random_range=0, point_num=2500, shot=None,
-                 offset=0, train_cls=None, seed=None, host_augment=True):
+                 offset=0, train_cls=None, seed=None, host_augment=True,
+                 device_views=False):
         frame = anno.pascal3d_frame(
             root_dir, annotation_file, train=train, keypoint=keypoint, novel=novel,
             cat_choice=cat_choice, train_cls=train_cls, shot=shot,
@@ -196,6 +197,20 @@ class Pascal3DContrast(_PascalBase):
         self.random_model = random_model
         # False -> raw [0,1] pixels; photometric augs run on-device (ops/augment)
         self.host_augment = host_augment
+        # device_views: emit ONE raw decoded view + rot_sign; the flip and
+        # +-15 deg rotated views are synthesized inside the jit step
+        # (ops/augment.synthesize_views) — the host does decode/crop/
+        # resize_pad once instead of three times (VERDICT r2 #4). Label
+        # algebra stays host-side and exact. Implies device photometrics
+        # (host_augment is ignored: raw pixels are emitted).
+        # Flip-view caveat vs the host path: the device flip mirrors the
+        # letterboxed canvas, the host flips the crop THEN letterboxes —
+        # identical when the padding splits evenly, else a 1-px translation.
+        # The rotation happens on the canvas instead of the pre-resize crop
+        # (rotation/scale commute; the canvas keeps strictly more corner
+        # content) — deliberate TPU-first deviations, documented in
+        # docs/DESIGN.md.
+        self.device_views = device_views
 
     def get(self, idx: int, rng: np.random.Generator) -> dict[str, Any]:
         row = self.frame.iloc[idx]
@@ -215,8 +230,29 @@ class Pascal3DContrast(_PascalBase):
                 im = T.gaussian_blur(im, int(rng.integers(1, 5)))
             im = T.random_crop(im, left, upper, right - left, lower - upper, rng)
 
-            # rotated view (dataset.py:556-564)
             r = float(rng.choice([-15, 15]))
+
+            if self.device_views:
+                # one view out; flip/rot synthesized on-device. Same rng draw
+                # order as the 3-view path up to here, so the crop/r stream
+                # is identical for equivalence tests.
+                arr = _finalize(T.resize_pad(im, self.input_dim), rng,
+                                train=True, contrast=True, host_augment=False)
+                sample = {
+                    "im": arr,
+                    "label": T.process_viewpoint_label(label, self.offset).astype(np.int32),
+                    "label_flip": T.process_viewpoint_label(
+                        T.flip_label(label), self.offset).astype(np.int32),
+                    "label_rot": T.process_viewpoint_label(
+                        T.rotate_label(label, r), self.offset).astype(np.int32),
+                    "rot_sign": np.float32(np.sign(r)),
+                    "cat_id": cat_id,
+                }
+                if self.shape is not None:
+                    sample["shape"] = self._load_shape(cat, cad_index, 0, rng)
+                return sample
+
+            # rotated view (dataset.py:556-564)
             im_rot = T.resize_pad(im.rotate(r), self.input_dim)
             arr_rot = _finalize(im_rot, rng, train=True, contrast=True,
                                 host_augment=self.host_augment)

@@ -40,9 +40,9 @@ def init_memory_bank(size: int, dim: int, dtype=jnp.float32) -> MemoryBank:
 
 
 def enqueue(bank: MemoryBank, features: jnp.ndarray) -> MemoryBank:
-    """FIFO insert of a (normalized) feature batch. Static batch size; uses
-    dynamic_update_slice twice to handle wraparound without data-dependent
-    shapes (jit-safe)."""
+    """FIFO insert of a (normalized) feature batch. Static batch size; a
+    single scatter (`queue.at[idx].set`) with modular indices handles
+    wraparound without data-dependent shapes (jit-safe)."""
     feats = _l2_normalize(jax.lax.stop_gradient(features.astype(bank.queue.dtype)))
     k = bank.queue.shape[0]
     b = feats.shape[0]
@@ -62,11 +62,23 @@ def info_nce_memory(
     bank: MemoryBank,
     tau: float = 0.1,
     valid: jnp.ndarray | None = None,
+    dropout_rng: jax.Array | None = None,
+    dropout_rate: float = 0.3,
 ) -> jnp.ndarray:
     """infoNCE_KD semantics with the negative pool extended by the queue:
     denom_i = exp(pos_i) + sum_j exp(<s_i, t_j>/tau) + sum_q exp(<s_i, q>/tau)
     (unfilled queue slots are masked out). `valid` (bool (N,)) masks padded
-    batch rows out of both the in-batch negative pool and the mean."""
+    batch rows out of both the in-batch negative pool and the mean.
+
+    `dropout_rng` applies the reference's key-side dropout (p=0.3 on the
+    in-batch teacher/key features, model_utils.py:268) exactly as
+    `info_nce_kd` does, so toggling the bank changes ONLY the extra queue
+    negatives, not the dropout regime. Queue entries are stored and compared
+    dropout-free (MoCo convention: the queue holds clean keys)."""
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    feat_teacher.shape)
+        feat_teacher = jnp.where(keep, feat_teacher / (1.0 - dropout_rate), 0.0)
     s = _l2_normalize(feat_student)
     t = _l2_normalize(feat_teacher)
     pos = jnp.sum(s * t, axis=-1) / tau

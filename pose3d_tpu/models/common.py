@@ -28,7 +28,8 @@ kaiming_leaky02 = variance_scaling(2.0 / (1.0 + 0.2**2), "fan_in", "truncated_no
 dense_init_1e3 = normal(stddev=1e-3)
 
 
-def bn_mask(mask: jnp.ndarray | None, x: jnp.ndarray) -> jnp.ndarray | None:
+def bn_mask(mask: jnp.ndarray | None, x: jnp.ndarray,
+            axis_name: str | None = None) -> jnp.ndarray | None:
     """Broadcast a per-sample validity mask (N,) to x's rank for
     flax BatchNorm's `mask` argument, so PADDED batch rows are excluded
     from the batch statistics (mean/var computed over valid rows only).
@@ -36,9 +37,22 @@ def bn_mask(mask: jnp.ndarray | None, x: jnp.ndarray) -> jnp.ndarray | None:
     Used when the global batch is padded up to a device-count multiple
     (parallel/mesh.pad_batch): with the mask, the padded run's BN stats —
     and therefore every downstream activation of the valid rows — are
-    bit-identical to the unpadded batch's."""
+    bit-identical to the unpadded batch's.
+
+    Exact ONLY under the GSPMD jit path (axis_name=None), where the masked
+    reduction sees the whole global batch. Under per-shard sync-BN
+    (axis_name set, shard_map/pmap), flax pmean-averages per-shard masked
+    means UNWEIGHTED, which biases the stats whenever valid counts differ
+    across shards — exactly the padded-batch case — so that combination is
+    rejected."""
     if mask is None:
         return None
+    if axis_name is not None:
+        raise ValueError(
+            "bn_mask with axis_name sync-BN is unsupported: flax averages "
+            "per-shard masked means unweighted across shards, biasing BN "
+            "stats when shards hold different valid counts. Use the GSPMD "
+            "jit path (axis_name=None) for padded batches.")
     return mask.reshape(mask.shape[:1] + (1,) * (x.ndim - 1))
 
 
@@ -83,7 +97,7 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             axis_name=self.axis_name if train else None,
-        )(x, mask=bn_mask(mask, x) if train else None)
+        )(x, mask=bn_mask(mask, x, self.axis_name) if train else None)
         if self.use_relu:
             x = nn.relu(x)
         return x
@@ -115,7 +129,7 @@ class DenseBNRelu(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             axis_name=self.axis_name if train else None,
-        )(x, mask=bn_mask(mask, x) if train else None)
+        )(x, mask=bn_mask(mask, x, self.axis_name) if train else None)
         if self.use_relu:
             x = nn.relu(x)
         return x

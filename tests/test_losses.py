@@ -231,6 +231,23 @@ def test_memory_bank_empty_equals_in_batch(rng):
     assert a == pytest.approx(b, rel=1e-5)
 
 
+def test_memory_bank_empty_equals_in_batch_with_dropout(rng):
+    """Same reduction but under the reference's key-side dropout regime
+    (ADVICE r2 medium): with an empty queue and the SAME dropout rng,
+    info_nce_memory must equal info_nce_kd exactly, so toggling the bank
+    changes only the queue negatives."""
+    from pose3d_tpu.losses.memory_bank import init_memory_bank, info_nce_memory
+
+    s = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32))
+    key = jax.random.key(3)
+    bank = init_memory_bank(128, 64)
+    a = float(info_nce_memory(s, t, bank, 0.5, dropout_rng=key))
+    b = float(losses.info_nce_kd(s, t, 0.5, dropout_rng=key))
+    assert a == pytest.approx(b, rel=1e-5)
+    assert a != pytest.approx(float(losses.info_nce_kd(s, t, 0.5)), rel=1e-5)
+
+
 def test_memory_bank_enqueue_wraparound(rng):
     from pose3d_tpu.losses.memory_bank import init_memory_bank, enqueue, info_nce_memory
 
