@@ -103,6 +103,10 @@ class PoseEstimator(nn.Module):
     inp_classes: int = 24
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    # route the train-mode PointNet through the fused Pallas encoder
+    # (ops/pointnet_train_fused) — single-chip TPU only (a Pallas call does
+    # not GSPMD-partition; multi-chip runs keep the XLA path)
+    use_fused_pointnet: bool = False
 
     @nn.compact
     def __call__(self, im: jnp.ndarray, shape: jnp.ndarray, train: bool = True,
@@ -119,8 +123,10 @@ class PoseEstimator(nn.Module):
                                   axis_name=self.axis_name)(im, train, mask)
 
         if self.shape == "PointCloud":
-            shape_feature = ShapeEncoderPC(self.shape_feature_dim, dtype=self.dtype,
-                                           axis_name=self.axis_name)(shape, train, mask)
+            shape_feature = ShapeEncoderPC(
+                self.shape_feature_dim, dtype=self.dtype,
+                axis_name=self.axis_name,
+                use_fused_train=self.use_fused_pointnet)(shape, train, mask)
             fused_dim = self.shape_feature_dim
         else:
             shape_feature = ShapeEncoderMV(self.shape_feature_dim, dtype=self.dtype,

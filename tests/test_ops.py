@@ -83,6 +83,190 @@ def test_host_augment_false_emits_raw_pixels(tmp_path, rng):
         assert s[k].min() >= 0.0 and s[k].max() <= 1.0  # raw pixels, not normalized
 
 
+def test_rotate_views_matches_pil(rng):
+    """Device +-15deg view rotation (--device_views) reproduces PIL
+    Image.rotate (nearest, black fill): 100% bit-equal at 64x64, >=99.9% at
+    224x224 (residual = nearest-neighbor rounding ties in PIL's C loop)."""
+    from PIL import Image
+
+    from pose3d_tpu.ops.augment import rotate_views
+
+    for size, min_frac in ((64, 1.0), (224, 0.999)):
+        imgs = (rng.random((2, size, size, 3)) * 255).astype(np.uint8)
+        signs = np.array([1.0, -1.0], np.float32)
+        out = np.asarray(rotate_views(jnp.asarray(imgs, jnp.float32) / 255.0,
+                                      jnp.asarray(signs)))
+        for i in range(2):
+            ref = np.asarray(Image.fromarray(imgs[i]).rotate(15.0 * signs[i]))
+            frac = np.mean(np.all(out[i] == ref.astype(np.float32) / 255.0,
+                                  axis=-1))
+            assert frac >= min_frac, (size, i, frac)
+
+
+def test_synthesize_views_order_and_flip(rng):
+    """[base | flip | rot] concat order matches base_class.py:350-355; flip is
+    an exact W mirror."""
+    from pose3d_tpu.ops.augment import synthesize_views
+
+    imgs = rng.random((3, 32, 32, 3)).astype(np.float32)
+    signs = np.array([1.0, -1.0, 1.0], np.float32)
+    out = np.asarray(synthesize_views(jnp.asarray(imgs), jnp.asarray(signs)))
+    assert out.shape == (9, 32, 32, 3)
+    np.testing.assert_array_equal(out[:3], imgs)
+    np.testing.assert_array_equal(out[3:6], imgs[:, :, ::-1, :])
+
+
+def test_device_views_dataset_equivalence(tmp_path, rng):
+    """The device_views loader path emits the SAME base view / labels /
+    rot sign as the host 3-view path on an identical rng stream, and the
+    synthesized flip equals the host flip view exactly when the letterbox
+    padding splits evenly (square crops here -> no padding at all)."""
+    from pose3d_tpu.data import datasets, synthetic
+    from pose3d_tpu.ops.augment import synthesize_views
+
+    root = str(tmp_path / "o3d")
+    synthetic.make_objectnet3d_fixture(root, n_train_per_cat=3, n_val_per_cat=1)
+    kw = dict(shape="PointCloud", shape_dir="pointcloud", point_num=32,
+              input_dim=64, train=True)
+    ds_host = datasets.Pascal3DContrast(root, "ObjectNet3D.txt",
+                                        host_augment=False, **kw)
+    ds_dev = datasets.Pascal3DContrast(root, "ObjectNet3D.txt",
+                                       device_views=True, **kw)
+    for idx in range(3):
+        a = ds_host.get(idx, np.random.default_rng(idx))
+        b = ds_dev.get(idx, np.random.default_rng(idx))
+        np.testing.assert_array_equal(a["im"], b["im"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_array_equal(a["label_flip"], b["label_flip"])
+        np.testing.assert_array_equal(a["label_rot"], b["label_rot"])
+        np.testing.assert_array_equal(a["shape"], b["shape"])
+        # host rot label pins r = rot_sign * 15 on the same stream
+        assert b["rot_sign"] in (-1.0, 1.0)
+        views = np.asarray(synthesize_views(
+            jnp.asarray(b["im"][None]), jnp.asarray([b["rot_sign"]])))
+        # base view exact; flip view exact whenever the base view has no
+        # asymmetric letterbox padding (fixture bboxes vary, so compare the
+        # canvas mirror, which is what the device builds by construction)
+        np.testing.assert_array_equal(views[0], a["im"])
+        np.testing.assert_array_equal(views[1], a["im"][:, ::-1, :])
+
+
+def test_kd_crd_step_device_views_runs(rng):
+    """make_kd_crd_step(device_views=True) compiles and updates from the
+    1-view batch layout (im + rot_sign + 3 label sets)."""
+    from pose3d_tpu.models import BaselineEstimator, PoseEstimator
+    from pose3d_tpu.train import create_train_state, torch_style_adam
+    from pose3d_tpu.train import steps as steps_lib
+
+    n, img, pts = 4, 32, 32
+    student = BaselineEstimator(img_feature_dim=64)
+    teacher = PoseEstimator(shape="PointCloud", img_feature_dim=64,
+                            shape_feature_dim=64)
+    im = jnp.asarray(rng.random((n, img, img, 3)).astype(np.float32))
+    pc = jnp.asarray(rng.random((n, pts, 3)).astype(np.float32))
+    lab = jnp.asarray(np.stack([rng.integers(0, 360, n), rng.integers(0, 180, n),
+                                rng.integers(0, 360, n)], 1).astype(np.int32))
+    tv = teacher.init(jax.random.key(1), im[:1], pc[:1], train=False)
+    state = create_train_state(student, (im[:1],), jax.random.key(2),
+                               torch_style_adam(1e-3))
+    step = jax.jit(steps_lib.make_kd_crd_step(student, teacher,
+                                              device_views=True))
+    batch = {"im": im, "shape": pc, "label": lab, "label_flip": lab,
+             "label_rot": lab,
+             "rot_sign": jnp.asarray(np.array([1, -1, 1, -1], np.float32))}
+    new_state, metrics = step(state, tv, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+
+
+def _pointnet_params(rng, feature_dim=256):
+    dims = [(3, 64), (64, 128), (128, feature_dim)]
+    params = []
+    for din, dout in dims:
+        params.append((
+            {"kernel": jnp.asarray(rng.normal(0, 0.05, (din, dout)).astype(np.float32)),
+             "bias": jnp.asarray(rng.normal(0, 0.01, (dout,)).astype(np.float32))},
+            {"scale": jnp.asarray((1 + 0.1 * rng.normal(0, 1, dout)).astype(np.float32)),
+             "bias": jnp.asarray((0.1 * rng.normal(0, 1, dout)).astype(np.float32))},
+        ))
+    return tuple(params)
+
+
+def _pointnet_xla_train(pts, params, dtype):
+    from pose3d_tpu.models.pointnet import dense_bn_forward
+
+    x, stats = pts, []
+    for i, (dense_p, bn_p) in enumerate(params):
+        x, st = dense_bn_forward(x, dense_p, bn_p, None, True, dtype,
+                                 relu=(i < 2))
+        stats.append(st)
+    return jnp.max(x, axis=1), tuple(stats)
+
+
+def test_pointnet_train_fused_fwd_parity(rng, monkeypatch):
+    """Fused train-mode PointNet (interpret mode) vs the explicit XLA path:
+    f32 forward/stats agree to f32 summation-order noise on a ragged
+    (5, 40) batch (vs the kernel's 8x128 blocks — exercises both pads)."""
+    import pose3d_tpu.ops.pointnet_train_fused as ptf
+
+    monkeypatch.setattr(ptf, "_INTERPRET", True)
+    params = _pointnet_params(rng)
+    pts = jnp.asarray(rng.random((5, 40, 3)).astype(np.float32))
+    out_x, st_x = _pointnet_xla_train(pts, params, jnp.float32)
+    out_f, st_f = ptf.pointnet_train_fused(pts, params, jnp.float32)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+    for (m1, v1), (m2, v2) in zip(st_x, st_f):
+        np.testing.assert_allclose(np.asarray(m2), np.asarray(m1),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_pointnet_train_fused_grad_parity(rng, monkeypatch):
+    """Fused custom-VJP grads vs jax.grad through the XLA path (f32).
+    dense.bias grads are excluded: BN absorbs a constant shift, so they are
+    ANALYTICALLY ZERO and both paths return pure summation noise (~1e-9 of
+    the kernel-grad scale); everything real must agree to ~1e-5."""
+    import pose3d_tpu.ops.pointnet_train_fused as ptf
+
+    monkeypatch.setattr(ptf, "_INTERPRET", True)
+    params = _pointnet_params(rng)
+    pts = jnp.asarray(rng.random((5, 40, 3)).astype(np.float32))
+    wvec = jnp.asarray(rng.normal(0, 1, (5, 256)).astype(np.float32))
+
+    gx = jax.grad(lambda p: jnp.sum(
+        _pointnet_xla_train(pts, p, jnp.float32)[0] * wvec))(params)
+    gf = jax.grad(lambda p: jnp.sum(
+        ptf.pointnet_train_fused(pts, p, jnp.float32)[0] * wvec))(params)
+    kernel_scale = max(float(jnp.max(jnp.abs(g[0]["kernel"]))) for g in gx)
+    for i, ((gdx, gbx), (gdf, gbf)) in enumerate(zip(gx, gf)):
+        np.testing.assert_allclose(np.asarray(gdf["kernel"]),
+                                   np.asarray(gdx["kernel"]),
+                                   rtol=1e-4, atol=1e-4 * kernel_scale)
+        for nm in ("scale", "bias"):
+            np.testing.assert_allclose(np.asarray(gbf[nm]), np.asarray(gbx[nm]),
+                                       rtol=1e-4, atol=1e-4 * kernel_scale)
+        # bias grads: both are noise around the analytic zero
+        for g in (gdx, gdf):
+            assert float(jnp.max(jnp.abs(g["bias"]))) < 1e-2 * kernel_scale, i
+
+
+def test_pointnet_module_fused_flag_falls_back_off_tpu(rng):
+    """ShapeEncoderPC(use_fused_train=True) on CPU silently uses the XLA
+    path (the gate requires a TPU backend), so the module stays usable in
+    CPU tests/CI with the flag on."""
+    model = ShapeEncoderPC(feature_dim=64, use_fused_train=True)
+    pts = jnp.asarray(rng.random((2, 50, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), pts, train=True)
+    out, _ = model.apply(variables, pts, train=True,
+                         mutable=["batch_stats"])
+    ref_model = ShapeEncoderPC(feature_dim=64)
+    ref, _ = ref_model.apply(variables, pts, train=True,
+                             mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_vgg_stem_fused_matches_xla(rng):
     """Experimental stem kernel (interpret mode): conv+relu+pool fusion must
     be exact vs the XLA reference."""
