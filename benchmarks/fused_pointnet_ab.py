@@ -1,5 +1,6 @@
-"""On-chip A/B: teacher train step (bs=160, bf16) with the XLA PointNet vs
-the fused Pallas train-mode PointNet (ops/pointnet_train_fused).
+"""On-chip A/B: teacher train step (bs=160, bf16) across variants:
+xla (baseline), fused (Pallas train-mode PointNet), remat (ResNet block
+rematerialization), remat+fused.
 
 Round-3 context (docs/PERF.md): the teacher step is HBM-traffic bound
 (XLA cost analysis: 65.3 GB @ 79 ms ~= v5e bandwidth roofline). The PointNet
@@ -45,6 +46,13 @@ def _time(fn, *args, steps=20):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="xla,fused",
+                    help="comma list of: xla fused remat remat_fused")
+    ap.add_argument("--steps", type=int, default=20)
+    args = ap.parse_args()
     rng = np.random.default_rng(0)
     bt = 160
     imt = jnp.asarray(rng.standard_normal((bt, 224, 224, 3)).astype(np.float32))
@@ -55,10 +63,15 @@ def main():
     batch = {"im": imt, "shape": pct, "label": label}
 
     results = {}
-    for name, fused in (("xla", False), ("fused", True)):
+    variants = {"xla": {}, "fused": {"use_fused_pointnet": True},
+                "remat": {"remat": "full"},
+                "remat_ew": {"remat": "elementwise"},
+                "remat_fused": {"remat": "full", "use_fused_pointnet": True}}
+    for name in args.variants.split(","):
+        kw = variants[name]
         teacher = PoseEstimator(shape="PointCloud", img_feature_dim=1024,
                                 shape_feature_dim=1024, dtype=jnp.bfloat16,
-                                use_fused_pointnet=fused)
+                                **kw)
         tstate = create_train_state(teacher, (imt[:1], pct[:1]),
                                     jax.random.key(2), torch_style_adam(1e-4))
         tstep = jax.jit(steps_lib.make_teacher_train_step(teacher),
@@ -73,7 +86,7 @@ def main():
         loss0 = float(run(batch))
         print(f"[{name}] first step (compile) {time.perf_counter()-t_c0:.1f}s "
               f"loss {loss0:.4f}", flush=True)
-        dt = _time(run, batch)
+        dt = _time(run, batch, steps=args.steps)
         try:
             cost = tstep.lower(box[0], batch).compile().cost_analysis()
             gb = float(cost.get("bytes accessed", 0.0)) / 1e9
@@ -86,12 +99,12 @@ def main():
         print(json.dumps({name: {k: round(v, 3) for k, v in results[name].items()}}),
               flush=True)
 
-    if "xla" in results and "fused" in results:
-        print(json.dumps({
-            "speedup": round(results["xla"]["step_ms"] / results["fused"]["step_ms"], 4),
-            "xla_ms": round(results["xla"]["step_ms"], 2),
-            "fused_ms": round(results["fused"]["step_ms"], 2),
-        }), flush=True)
+    if "xla" in results:
+        for name, r in results.items():
+            if name != "xla":
+                print(json.dumps({
+                    f"speedup_{name}": round(results["xla"]["step_ms"] / r["step_ms"], 4),
+                }), flush=True)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ from typing import Any, Callable
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 from jax.nn.initializers import variance_scaling, normal, zeros
 
 Dtype = Any
@@ -90,6 +91,11 @@ class ConvBN(nn.Module):
             param_dtype=jnp.float32,
             kernel_init=kaiming_leaky02,
         )(x)
+        # remat-policy anchor: under ResNet(remat_policy="conv_out"), only
+        # tensors named here survive to the backward; the BN/relu elementwise
+        # chain is recomputed from them instead of being stored (no-op
+        # otherwise)
+        x = checkpoint_name(x, "conv_out")
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -100,6 +106,9 @@ class ConvBN(nn.Module):
         )(x, mask=bn_mask(mask, x, self.axis_name) if train else None)
         if self.use_relu:
             x = nn.relu(x)
+        # second anchor: the post-BN/relu activation — the tensor the
+        # "elementwise" remat policy chooses to recompute rather than store
+        x = checkpoint_name(x, "convbn_act")
         return x
 
 

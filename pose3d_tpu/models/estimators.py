@@ -107,6 +107,10 @@ class PoseEstimator(nn.Module):
     # (ops/pointnet_train_fused) — single-chip TPU only (a Pallas call does
     # not GSPMD-partition; multi-chip runs keep the XLA path)
     use_fused_pointnet: bool = False
+    # rematerialize the ResNet-50 blocks in the backward pass (the teacher
+    # train step is HBM-traffic bound; see models/resnet.py): None | "full" |
+    # "elementwise"
+    remat: str | None = None
 
     @nn.compact
     def __call__(self, im: jnp.ndarray, shape: jnp.ndarray, train: bool = True,
@@ -120,7 +124,8 @@ class PoseEstimator(nn.Module):
         in eval mode (running-stats BN is row-independent); the KD steps use
         it on the FROZEN teacher only."""
         _, img_feature = resnet50(num_classes=self.img_feature_dim, dtype=self.dtype,
-                                  axis_name=self.axis_name)(im, train, mask)
+                                  axis_name=self.axis_name,
+                                  remat=self.remat)(im, train, mask)
 
         if self.shape == "PointCloud":
             shape_feature = ShapeEncoderPC(

@@ -15,6 +15,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -78,6 +79,16 @@ class ResNet(nn.Module):
     features: int = 64
     dtype: Any = jnp.float32
     axis_name: str | None = None
+    # rematerialize per residual block in the backward pass. The bs-160
+    # teacher train step is HBM-bandwidth bound (~99% of the v5e roofline:
+    # 65.3 GB / 80.6 ms — docs/PERF.md round 3), so recomputing COULD beat
+    # re-reading; measured on-chip it does not: "full" (save only block
+    # inputs) = 96.4 ms / 74.4 GB (0.84x — XLA re-writes the recomputed
+    # activations), "elementwise" (save conv outputs, recompute the BN/relu
+    # chains via the checkpoint_name anchors in ConvBN) = 136.6 ms / 114 GB
+    # (0.59x). Kept flag-gated OFF as a tested experiment record; may help
+    # at batch sizes that otherwise OOM. None | "full" | "elementwise".
+    remat: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
@@ -93,12 +104,26 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         x = nn.relu(x)
 
+        # (self=0, x=1, train=2): train is python control flow, so static.
+        # Explicit names pin the auto-naming of the non-remat path
+        # (Bottleneck_k / BasicBlock_k), so checkpoints are interchangeable.
+        if self.remat:
+            policy = (None if self.remat == "full" else
+                      jax.checkpoint_policies.save_anything_except_these_names(
+                          "convbn_act"))
+            block_cls = nn.remat(self.block_cls, static_argnums=(2,),
+                                 policy=policy)
+        else:
+            block_cls = self.block_cls
+        k = 0
         for i, n_blocks in enumerate(self.stage_sizes):
             for j in range(n_blocks):
                 strides = (2, 2) if i > 0 and j == 0 else (1, 1)
-                x = self.block_cls(self.features * (2**i), strides,
-                                   dtype=self.dtype,
-                                   axis_name=self.axis_name)(x, train, mask)
+                x = block_cls(self.features * (2**i), strides,
+                              dtype=self.dtype, axis_name=self.axis_name,
+                              name=f"{self.block_cls.__name__}_{k}")(
+                                  x, train, mask)
+                k += 1
 
         feat = jnp.mean(x, axis=(1, 2))  # global average pool -> (N, C)
         out = head_dense(self.num_classes, self.dtype)(feat)
@@ -107,11 +132,12 @@ class ResNet(nn.Module):
 
 def _make(stage_sizes, block_cls):
     def ctor(num_classes: int = 1000, input_channel: int = 3, features: int = 64,
-             dtype: Any = jnp.float32, axis_name: str | None = None) -> ResNet:
+             dtype: Any = jnp.float32, axis_name: str | None = None,
+             remat: str | None = None) -> ResNet:
         del input_channel  # NHWC input channel count is inferred from the input
         return ResNet(stage_sizes=stage_sizes, block_cls=block_cls,
                       num_classes=num_classes, features=features, dtype=dtype,
-                      axis_name=axis_name)
+                      axis_name=axis_name, remat=remat)
 
     return ctor
 

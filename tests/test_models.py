@@ -228,3 +228,39 @@ def test_teacher_view_tile_matches_tiled_shapes_multiview(rng):
     for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(out)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-9)
+
+
+@pytest.mark.parametrize("mode", ["full", "elementwise"])
+def test_resnet_remat_matches_plain(mode):
+    """remat=full/elementwise (measured-negative experiment record, kept
+    flag-gated — models/resnet.py) must keep the variable tree identical
+    (checkpoint compat: explicit Bottleneck_k names pin the non-remat naming)
+    and reproduce outputs, grads and BN stat updates of the plain path up to
+    fusion-boundary rounding."""
+    from pose3d_tpu.models.resnet import resnet18
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 64, 64, 3)),
+                    jnp.float32)
+    plain = resnet18(num_classes=32)
+    rem = resnet18(num_classes=32, remat=mode)
+    v = plain.init(jax.random.key(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        rem.init(jax.random.key(0), x, train=False))
+
+    def loss(m):
+        def f(params):
+            (feat, out), upd = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"])
+            return jnp.sum(out**2) + jnp.sum(feat**2), upd["batch_stats"]
+        return jax.jit(jax.value_and_grad(f, has_aux=True))(v["params"])
+
+    (l0, bs0), g0 = loss(plain)
+    (l1, bs1), g1 = loss(rem)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(bs0), jax.tree.leaves(bs1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-4)
