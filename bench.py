@@ -46,24 +46,35 @@ def _mfu(flops_per_step: float, step_seconds: float) -> float:
     return flops_per_step / step_seconds / peak
 
 
-def _contention_proxy(reps: int = 5) -> float:
+def _contention_proxy(reps: int = 3, m: int = 8192) -> float:
     """Chip-load proxy for the measurement protocol (docs/PERF.md round 3):
-    time a bf16 4096^3 matmul (137.4 GFLOP, pure-MXU) and return the ratio of
-    the best observed time to the chip's speed-of-light time. ~1.0-1.1 on a
-    quiet chip; >1.3 means multi-tenant contention is inflating every number
-    measured in this invocation."""
+    per-matmul time of a bf16 m^3 matmul (1.1 TFLOP at m=8192, pure-MXU)
+    over speed-of-light. The axon tunnel adds a ~35 ms fixed pipeline-fill
+    per sync window (a single-dispatch probe measures the tunnel, not the
+    chip: ~50x SoL), so the estimate is the SLOPE between a short and a long
+    dispatch chain — (t_long - t_short) / (n_long - n_short) — which cancels
+    the fixed fill cost exactly like it cancels compile warmup. ~1.0-1.2 on
+    a quiet chip; >1.4 means multi-tenant contention is inflating every
+    number measured in this invocation."""
     kind = jax.devices()[0].device_kind.lower()
     peak = 275e12 if "v4" in kind else 197e12
-    a = jnp.ones((4096, 4096), jnp.bfloat16)
+    a = jnp.ones((m, m), jnp.bfloat16)
     f = jax.jit(lambda x: x @ x)
     np.asarray(f(a).ravel()[0])  # compile + warm
+
+    def window(chain: int) -> float:
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            out = f(a)
+        np.asarray(out.ravel()[0])
+        return time.perf_counter() - t0
+
+    n_short, n_long = 5, 25
     best = float("inf")
     for _ in range(reps):
-        t0 = time.perf_counter()
-        out = f(a)
-        np.asarray(out.ravel()[0])
-        best = min(best, time.perf_counter() - t0)
-    sol = 2 * 4096**3 / peak
+        slope = (window(n_long) - window(n_short)) / (n_long - n_short)
+        best = min(best, slope)
+    sol = 2 * m**3 / peak
     return best / sol
 
 
@@ -78,7 +89,8 @@ def _bench_kd_step(args) -> None:
 
     rng = np.random.default_rng(0)
     bk = args.batch if args.batch != 256 else 46
-    student = BaselineEstimator(img_feature_dim=2048, dtype=jnp.bfloat16)
+    student = BaselineEstimator(img_feature_dim=2048, dtype=jnp.bfloat16,
+                                fold_deep_pools=args.fold_deep_pools)
     teacher = PoseEstimator(shape="PointCloud", img_feature_dim=1024,
                             shape_feature_dim=1024, dtype=jnp.bfloat16)
     im = jnp.asarray(rng.standard_normal((bk, args.img, args.img, 3)).astype(np.float32))
@@ -149,6 +161,9 @@ def main(argv=None):
     parser.add_argument("--img", type=int, default=224)
     parser.add_argument("--metric", type=str, default="student_infer",
                         choices=["student_infer", "kd_step"])
+    parser.add_argument("--fold_deep_pools", type=int, default=0,
+                        help="kd_step A/B: fold deep conv+pool pairs with "
+                             "conv index <= N (models/vgg.py; 0 = off)")
     args = parser.parse_args(argv)
 
     if args.metric == "kd_step":

@@ -60,12 +60,15 @@ def _peak_flops():
 
 
 def _step_flops(jitted, *args):
-    """XLA's own cost analysis for a compiled step (not hand-counted)."""
+    """XLA's own cost analysis for a compiled step (not hand-counted).
+    Returns (flops, bytes_accessed) — bytes/time vs the ~819 GB/s v5e HBM
+    peak is the roofline check that explains sub-35% MFU rows (PERF.md
+    round 3: every train step with batch-stat BN is bandwidth-bound)."""
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
-        return float(cost.get("flops", 0.0))
+        return float(cost.get("flops", 0.0)), float(cost.get("bytes accessed", 0.0))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
 def main(argv=None):
@@ -129,12 +132,14 @@ def main(argv=None):
         tbox[0], m = tstep(tbox[0], b)
         return m["loss"]
 
-    tflops = _step_flops(tstep, tbox[0], batch)
+    tflops, tbytes = _step_flops(tstep, tbox[0], batch)
     dt = _time(run_tstep, batch, steps=steps)
     emit("teacher_train_img_per_s", bt / dt, "img/s")
     emit("teacher_train_step_ms", dt * 1000, "ms",
          step_tflops=round(tflops / 1e12, 3),
-         mfu=round(tflops / dt / _peak_flops(), 3))
+         mfu=round(tflops / dt / _peak_flops(), 3),
+         bytes_gb=round(tbytes / 1e9, 1),
+         hbm_gb_per_s=round(tbytes / dt / 1e9, 0))
 
     # 4. KD train step (BASELINE config 4: bs 46, 3x views)
     bk = 46
@@ -153,11 +158,13 @@ def main(argv=None):
         sbox[0], m = kstep(sbox[0], tv_, b)
         return m["loss"]
 
-    kflops = _step_flops(kstep, sbox[0], tv, kd_batch)
+    kflops, kbytes = _step_flops(kstep, sbox[0], tv, kd_batch)
     dt = _time(run_kstep, tv, kd_batch, steps=steps)
     emit("kd_train_samples_per_s", bk / dt, "samples/s",
          step_tflops=round(kflops / 1e12, 3),
-         mfu=round(kflops / dt / _peak_flops(), 3))
+         mfu=round(kflops / dt / _peak_flops(), 3),
+         bytes_gb=round(kbytes / 1e9, 1),
+         hbm_gb_per_s=round(kbytes / dt / 1e9, 0))
     emit("kd_train_step_ms", dt * 1000, "ms")
 
     # 5. stage-1 step (both models training, base_class.py:451-569; bs 46)
@@ -178,11 +185,13 @@ def main(argv=None):
         s1box[0], s1box[1], m = s1step(s1box[0], s1box[1], b)
         return m["loss"]
 
-    s1flops = _step_flops(s1step, s1box[0], s1box[1], s1_batch)
+    s1flops, s1bytes = _step_flops(s1step, s1box[0], s1box[1], s1_batch)
     dt = _time(run_s1, s1_batch, steps=steps)
     emit("stage1_train_samples_per_s", bk / dt, "samples/s",
          step_tflops=round(s1flops / 1e12, 3),
-         mfu=round(s1flops / dt / _peak_flops(), 3))
+         mfu=round(s1flops / dt / _peak_flops(), 3),
+         bytes_gb=round(s1bytes / 1e9, 1),
+         hbm_gb_per_s=round(s1bytes / dt / 1e9, 0))
     emit("stage1_train_step_ms", dt * 1000, "ms")
 
     # 6. stage-2 step (frozen vanilla teacher, 3 views, base_class.py:571-688)
@@ -197,11 +206,13 @@ def main(argv=None):
         s2box[0], m = s2step(s2box[0], v_, b)
         return m["loss"]
 
-    s2flops = _step_flops(s2step, s2box[0], v_eval_vars, kd_batch)
+    s2flops, s2bytes = _step_flops(s2step, s2box[0], v_eval_vars, kd_batch)
     dt = _time(run_s2, v_eval_vars, kd_batch, steps=steps)
     emit("stage2_train_samples_per_s", bk / dt, "samples/s",
          step_tflops=round(s2flops / 1e12, 3),
-         mfu=round(s2flops / dt / _peak_flops(), 3))
+         mfu=round(s2flops / dt / _peak_flops(), 3),
+         bytes_gb=round(s2bytes / 1e9, 1),
+         hbm_gb_per_s=round(s2bytes / dt / 1e9, 0))
     emit("stage2_train_step_ms", dt * 1000, "ms")
 
 

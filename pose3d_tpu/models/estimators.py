@@ -67,6 +67,10 @@ class BaselineEstimator(nn.Module):
     width_mult: float = 1.0  # narrower-backbone extension (see models/vgg.py)
     dropout_rate: float = 0.5  # VGG classifier dropout (reference vgg.py:44-52);
     # 0 makes the student fully deterministic (cross-framework parity runs)
+    # exact deep conv+pool phase fold depth (models/vgg.py _ConvPool2x2Deep;
+    # 0 = stem only) — measured NEGATIVE on-chip at every depth, kept as a
+    # tested experiment record; see docs/PERF.md round 3
+    fold_deep_pools: int = 0
 
     @nn.compact
     def __call__(self, im: jnp.ndarray, train: bool = True,
@@ -74,7 +78,8 @@ class BaselineEstimator(nn.Module):
         img_feature = vgg11(num_classes=self.img_feature_dim, dtype=self.dtype,
                             axis_name=self.axis_name,
                             width_mult=self.width_mult,
-                            dropout_rate=self.dropout_rate)(im, train, mask)
+                            dropout_rate=self.dropout_rate,
+                            fold_deep_pools=self.fold_deep_pools)(im, train, mask)
 
         x = img_feature
         for width in (800, 400, 200):

@@ -85,6 +85,51 @@ class _ConvPool2x2(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _ConvPool2x2Deep(nn.Module):
+    """SAME 3x3 conv + 2x2/2 max pool folded as FOUR stride-2 phase convs
+    that SHARE the original 3x3 kernel, with per-phase padding — the
+    MAC-preserving deep-layer variant of _ConvPool2x2.
+
+    The stem fold zero-embeds the 3x3 taps in a 4x4 kernel (16/9 the MACs),
+    which only pays at C_in=3 where the MXU is idle anyway. Here instead each
+    phase (dy, dx) is `conv(x, K, stride 2, padding ((1-dy, dy), (1-dx, dx)))`
+    so out_dydx[p, q] = conv[2p+dy, 2q+dx] exactly with the ORIGINAL kernel:
+    total MACs across the 4 phases equal the unfolded conv's (each phase
+    computes a quarter of the positions), and the four weight gradients sum
+    to the one wgrad by linearity. What changes is the backward: the pool's
+    select-and-scatter over the full-resolution conv output disappears in
+    favor of an elementwise where-select chain at 1/4 resolution (the
+    remaining ~3 ms of deep-pool SAS in the KD step profile — docs/PERF.md
+    round 2). First-tie-wins across phases in row-major (dy, dx) order
+    matches torch MaxPool2d scan order, like the stem. Bias added after the
+    max (commutes). Param tree matches nn.Conv ({kernel (3,3,C,F), bias});
+    callers pass name="Conv_i" — checkpoints and torch import/export are
+    unchanged."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param("kernel", kaiming_leaky02,
+                            (3, 3, x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", zeros, (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        phases = [
+            jax.lax.conv_general_dilated(
+                x, k, (2, 2), ((1 - dy, dy), (1 - dx, dx)),
+                dimension_numbers=dn)
+            for dy in (0, 1) for dx in (0, 1)]
+        p0, p1, p2, p3 = phases
+        m01 = jnp.where(p0 >= p1, p0, p1)
+        m23 = jnp.where(p2 >= p3, p2, p3)
+        y = jnp.where(m01 >= m23, m01, m23)
+        return y + bias.astype(self.dtype)
+
+
 class _PrePoolConv(nn.Module):
     """SAME 3x3 conv whose bias is returned instead of added: a per-channel
     constant commutes with max-pool (max(x+b) = max(x)+b), so the caller adds
@@ -119,6 +164,14 @@ class VGG(nn.Module):
     axis_name: str | None = None
     width_mult: float = 1.0  # extension: narrower students for faster
     # inference — the natural target of the KD pipeline (not in the reference)
+    # fold DEEP conv+pool pairs with conv index <= this into 4 shared-kernel
+    # stride-2 phase convs (_ConvPool2x2Deep; exact, MAC-preserving) —
+    # removes those pools' select-and-scatter backwards. 0 = stem fold only.
+    # Measured on-chip at the KD workload: NEGATIVE at every depth (all-four
+    # 0.92x, conv2-only 0.97x vs the SAS baseline on a quiet chip) — the 4
+    # separate dgrads/input re-reads cost more than SAS; kept as a tested
+    # experiment record. docs/PERF.md round 3.
+    fold_deep_pools: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
@@ -145,12 +198,14 @@ class VGG(nn.Module):
             # MXU utilization is hopeless anyway (C_in=3); the deeper convs
             # run near full tile utilization and their SAS ops are <2 ms
             # combined, so the +78% MACs would be a net loss there.
-            fold = (conv_i == 0 and not self.batch_norm
+            fold = ((conv_i == 0 or conv_i <= int(self.fold_deep_pools))
+                    and not self.batch_norm
                     and i + 1 < len(cfg) and cfg[i + 1] == "M"
                     and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
             if fold:
-                x = _ConvPool2x2(features=v, dtype=self.dtype,
-                                 name=f"Conv_{conv_i}")(x)
+                fold_cls = _ConvPool2x2 if conv_i == 0 else _ConvPool2x2Deep
+                x = fold_cls(features=v, dtype=self.dtype,
+                             name=f"Conv_{conv_i}")(x)
                 i += 2  # consumed the "M" as well
             elif (not self.batch_norm and i + 1 < len(cfg)
                   and cfg[i + 1] == "M"):
@@ -201,10 +256,10 @@ class VGG(nn.Module):
 def _make(cfg_key: str, batch_norm: bool = False):
     def ctor(num_classes: int = 1000, dtype: Any = jnp.float32,
              axis_name: str | None = None, width_mult: float = 1.0,
-             dropout_rate: float = 0.5) -> VGG:
+             dropout_rate: float = 0.5, fold_deep_pools: int = 0) -> VGG:
         return VGG(cfg=CFG[cfg_key], num_classes=num_classes, batch_norm=batch_norm,
                    dtype=dtype, axis_name=axis_name, width_mult=width_mult,
-                   dropout_rate=dropout_rate)
+                   dropout_rate=dropout_rate, fold_deep_pools=fold_deep_pools)
 
     return ctor
 

@@ -264,3 +264,36 @@ def test_resnet_remat_matches_plain(mode):
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-4)
+
+
+def test_vgg_deep_pool_fold_matches_plain():
+    """fold_deep_pools (4 shared-kernel stride-2 phase convs per deep
+    conv+pool pair — models/vgg.py _ConvPool2x2Deep) must keep the param tree
+    identical and reproduce outputs and grads of the unfolded graph on the
+    same params. f32 CPU: outputs agree to fp-roundoff; grads too (tie-free
+    random inputs — tie ROUTING parity with torch is pinned separately for
+    the where-chain pattern by test_ops)."""
+    from pose3d_tpu.models.vgg import vgg11
+
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 64, 64, 3)),
+                    jnp.float32)
+    plain = vgg11(num_classes=64, dropout_rate=0.0)
+    folded = vgg11(num_classes=64, dropout_rate=0.0, fold_deep_pools=8)
+    v = plain.init(jax.random.key(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+        folded.init(jax.random.key(0), x, train=False))
+
+    def out(m):
+        return m.apply(v, x, train=False)
+
+    np.testing.assert_allclose(np.asarray(out(plain)), np.asarray(out(folded)),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(m):
+        return jax.jit(jax.grad(
+            lambda p: jnp.sum(m.apply({"params": p}, x, train=False) ** 2)))(
+                v["params"])
+
+    for a, b in zip(jax.tree.leaves(loss(plain)), jax.tree.leaves(loss(folded))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
