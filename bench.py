@@ -160,7 +160,8 @@ def main(argv=None):
                              "(kd_step only; 1 = single window, driver default)")
     parser.add_argument("--img", type=int, default=224)
     parser.add_argument("--metric", type=str, default="student_infer",
-                        choices=["student_infer", "kd_step"])
+                        choices=["student_infer", "student_infer_int8",
+                                 "kd_step"])
     parser.add_argument("--fold_deep_pools", type=int, default=0,
                         help="kd_step A/B: fold deep conv+pool pairs with "
                              "conv index <= N (models/vgg.py; 0 = off)")
@@ -179,11 +180,29 @@ def main(argv=None):
             (args.batch, args.img, args.img, 3)).astype(np.float32))
     variables = model.init(jax.random.key(0), im[:1], train=False)
 
-    @jax.jit
-    def infer(v, x):
-        outputs, _ = model.apply(v, x, train=False)
-        outputs = [o.astype(jnp.float32) for o in outputs]
-        return geometry.decode_predictions(tuple(outputs[:3]), tuple(outputs[3:]))
+    if args.metric == "student_infer_int8":
+        # int8 PTQ serving path (pose3d_tpu/serving): same decode, same
+        # batch; calibrated on one batch (random init — this measures
+        # THROUGHPUT; accuracy-agreement evidence lives in the tests and
+        # benchmarks/int8_student_eval.py on a trained checkpoint)
+        from pose3d_tpu.serving import quantize_student, student_int8_infer
+
+        q = quantize_student(variables, [np.asarray(im[:16])])
+
+        @jax.jit
+        def infer(qq, x):
+            outputs = student_int8_infer(qq, x)
+            return geometry.decode_predictions(tuple(outputs[:3]),
+                                               tuple(outputs[3:]))
+
+        variables = q  # reuse the timing loop below
+
+    else:
+        @jax.jit
+        def infer(v, x):
+            outputs, _ = model.apply(v, x, train=False)
+            outputs = [o.astype(jnp.float32) for o in outputs]
+            return geometry.decode_predictions(tuple(outputs[:3]), tuple(outputs[3:]))
 
     # warmup / compile (np.asarray forces a full device->host sync;
     # block_until_ready returns early through the axon tunnel)
@@ -197,8 +216,11 @@ def main(argv=None):
     dt = time.perf_counter() - t0
 
     img_per_s = args.batch * args.steps / dt
+    name = ("student_infer_int8_img_per_s"
+            if args.metric == "student_infer_int8" else
+            "student_infer_img_per_s")
     print(json.dumps({
-        "metric": "student_infer_img_per_s",
+        "metric": name,
         "value": round(img_per_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_per_s / 5000.0, 3),

