@@ -36,6 +36,11 @@ def parse_args(argv=None):
                         help="point cloud for teacher-mode inference")
     parser.add_argument("--shape_feature_dim", type=int, default=1024)
     parser.add_argument("--point_num", type=int, default=2500)
+    # int8 serving path (student only): PTQ calibrated on the input image
+    # itself — fine for a single-image demo; batch serving should calibrate
+    # on representative data (pose3d_tpu/serving/quant_student.py)
+    parser.add_argument("--int8", action="store_true",
+                        help="serve the student through the int8 PTQ path")
     return parser.parse_args(argv)
 
 
@@ -75,11 +80,24 @@ def main(argv=None):
                                train=False)
         variables = _load_ckpt_into(variables, opt.ckpt)
 
-        @jax.jit
-        def infer(v, x):
-            outputs, _ = model.apply(v, x, train=False)
-            return geometry.decode_predictions_inference(
-                tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+        if opt.int8:
+            from pose3d_tpu.serving import quantize_student, student_int8_infer
+
+            q = quantize_student(variables, [arr])
+
+            @jax.jit
+            def infer(qq, x):
+                outputs = student_int8_infer(qq, x)
+                return geometry.decode_predictions_inference(
+                    tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+
+            variables = q
+        else:
+            @jax.jit
+            def infer(v, x):
+                outputs, _ = model.apply(v, x, train=False)
+                return geometry.decode_predictions_inference(
+                    tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
 
         vp = np.array(infer(variables, jnp.asarray(arr)))[0]  # copy: device arrays are read-only
     # back to annotation convention (inference_imageBased.py:61-62)
