@@ -208,3 +208,46 @@ def student_int8_infer(q, im, dtype=jnp.bfloat16):
                         + h.astype(dtype))
     return [(x @ w.astype(dtype) + b.astype(dtype)).astype(jnp.float32)
             for w, b in q["heads"]]
+
+
+def save_quantized(q: dict, path: str) -> None:
+    """Persist the quantized pytree as a single .npz (int8 weights stay
+    int8 on disk — the artifact is ~4x smaller than the f32 checkpoint)."""
+    flat = {}
+
+    def put(prefix, obj):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                put(f"{prefix}/{k}", v)
+        elif isinstance(obj, (list, tuple)):
+            for i, v in enumerate(obj):
+                put(f"{prefix}/{i}", v)
+        else:
+            flat[prefix] = np.asarray(obj)
+
+    put("q", q)
+    np.savez(path, **flat)
+
+
+def load_quantized(path: str) -> dict:
+    """Inverse of save_quantized."""
+    data = np.load(path if path.endswith(".npz") else path + ".npz")
+    q = {"stem": {}, "convs": [], "fcs": [], "compress": [], "heads": []}
+    convs, fcs, compress, heads = {}, {}, {}, {}
+    for key, arr in data.items():
+        parts = key.split("/")[1:]
+        if parts[0] == "stem":
+            q["stem"][parts[1]] = jnp.asarray(arr)
+        elif parts[0] in ("convs", "fcs"):
+            d = convs if parts[0] == "convs" else fcs
+            d.setdefault(int(parts[1]), {})[parts[2]] = jnp.asarray(arr)
+        else:
+            d = compress if parts[0] == "compress" else heads
+            d.setdefault(int(parts[1]), {})[int(parts[2])] = jnp.asarray(arr)
+    q["convs"] = [convs[i] for i in sorted(convs)]
+    q["fcs"] = [fcs[i] for i in sorted(fcs)]
+    q["compress"] = [tuple(compress[i][j] for j in sorted(compress[i]))
+                     for i in sorted(compress)]
+    q["heads"] = [tuple(heads[i][j] for j in sorted(heads[i]))
+                  for i in sorted(heads)]
+    return q

@@ -65,3 +65,32 @@ def test_int8_shapes_and_head_order():
     out = student_int8_infer(q, im, jnp.float32)
     assert [o.shape[-1] for o in out] == [24, 12, 24, 24, 12, 24]
     assert all(o.shape[0] == 2 for o in out)
+
+
+def test_quantized_save_load_roundtrip(tmp_path):
+    from pose3d_tpu.serving.quant_student import save_quantized, load_quantized
+
+    rng = np.random.default_rng(2)
+    m = BaselineEstimator(img_feature_dim=256)
+    im = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), im[:1], train=False)
+    q = quantize_student(v, [np.asarray(im)])
+    path = str(tmp_path / "student_q.npz")
+    save_quantized(q, path)
+    q2 = load_quantized(path)
+    a = student_int8_infer(q, im, jnp.float32)
+    b = student_int8_infer(q2, im, jnp.float32)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_int8_width_mult_student():
+    """The quantizer is shape-generic: the narrow-student extension
+    (width_mult) quantizes and runs through the same path."""
+    rng = np.random.default_rng(3)
+    m = BaselineEstimator(img_feature_dim=256, width_mult=0.5)
+    im = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), im[:1], train=False)
+    q = quantize_student(v, [np.asarray(im)])
+    out = student_int8_infer(q, im, jnp.float32)
+    assert [o.shape[-1] for o in out] == [24, 12, 24, 24, 12, 24]
