@@ -102,9 +102,15 @@ def _bench_kd_step(args) -> None:
                                 torch_style_adam(1e-4))
     batch = {"im": im, "im_flip": im, "im_rot": im, "shape": pc,
              "label": label, "label_flip": label, "label_rot": label}
+    if args.int8_teacher:
+        from pose3d_tpu.serving import quantize_teacher_resnet
+
+        tv = {"variables": tv,
+              "q8": quantize_teacher_resnet(tv, [np.asarray(im[:16])])}
     # donate the train state exactly as the trainer's jits do (trainer.py)
-    kstep = jax.jit(steps_lib.make_kd_crd_step(student, teacher),
-                    donate_argnums=(0,))
+    kstep = jax.jit(steps_lib.make_kd_crd_step(
+        student, teacher, int8_teacher=args.int8_teacher),
+        donate_argnums=(0,))
 
     try:
         cost = kstep.lower(sstate, tv, batch).compile().cost_analysis()
@@ -136,6 +142,8 @@ def _bench_kd_step(args) -> None:
         "unit": "samples/s",
         "vs_baseline": round(samples_per_s / A100_KD_SAMPLES_PER_S, 3),
     }
+    if args.int8_teacher:
+        out["int8_teacher"] = True
     if step_flops:
         out["step_tflops"] = round(step_flops / 1e12, 3)
         out["mfu"] = round(_mfu(step_flops, dt_step), 3)
@@ -162,6 +170,13 @@ def main(argv=None):
     parser.add_argument("--metric", type=str, default="student_infer",
                         choices=["student_infer", "student_infer_int8",
                                  "kd_step"])
+    parser.add_argument("--width_mult", type=float, default=1.0,
+                        help="student width multiplier (serving metrics; "
+                             "the narrow-student KD extension)")
+    parser.add_argument("--int8_teacher", action="store_true",
+                        help="kd_step A/B: frozen teacher's resnet50 through "
+                             "the int8 serving path (--int8_teacher regime "
+                             "of trainingKD; serving/quant_teacher.py)")
     parser.add_argument("--fold_deep_pools", type=int, default=0,
                         help="kd_step A/B: fold deep conv+pool pairs with "
                              "conv index <= N (models/vgg.py; 0 = off)")
@@ -174,7 +189,8 @@ def main(argv=None):
     from pose3d_tpu.models import BaselineEstimator
     from pose3d_tpu import geometry
 
-    model = BaselineEstimator(img_feature_dim=2048, dtype=jnp.bfloat16)
+    model = BaselineEstimator(img_feature_dim=2048, dtype=jnp.bfloat16,
+                              width_mult=args.width_mult)
     im = jnp.asarray(
         np.random.default_rng(0).standard_normal(
             (args.batch, args.img, args.img, 3)).astype(np.float32))
