@@ -115,7 +115,27 @@ def main(argv=None):
         return geometry.decode_predictions(tuple(outputs[:3]), tuple(outputs[3:]))
 
     dt = _time(teacher_fwd, tv, imt, pct, steps=steps)
-    emit("teacher_eval_img_per_s", bt / dt, "img/s")
+    teacher_eval_bf16 = bt / dt
+    emit("teacher_eval_img_per_s", teacher_eval_bf16, "img/s")
+
+    # 2b. teacher int8 serving (serving extension, not a reference workload:
+    # resnet50 image encoder s8xs8->s32 with BN folded into the dequant
+    # affine, shape/fusion tail bf16 — pose3d_tpu/serving/quant_teacher.py).
+    # vs_baseline here = speedup over the bf16 teacher eval row above.
+    from pose3d_tpu.serving import make_teacher_int8_infer, quantize_teacher_resnet
+
+    q8 = quantize_teacher_resnet(tv, [np.asarray(imt[:16])])
+    t8_infer = make_teacher_int8_infer(teacher)
+
+    @jax.jit
+    def teacher_int8_fwd(qq, v, x, p):
+        outputs = t8_infer(qq, v, x, p)
+        outputs = [o.astype(jnp.float32) for o in outputs]
+        return geometry.decode_predictions(tuple(outputs[:3]), tuple(outputs[3:]))
+
+    dt = _time(teacher_int8_fwd, q8, tv, imt, pct, steps=steps)
+    emit("teacher_eval_int8_img_per_s", bt / dt, "img/s",
+         baseline=teacher_eval_bf16)
 
     # 3. teacher train step (BASELINE config 3: bs 160)
     tstate = create_train_state(teacher, (imt[:1], pct[:1]), jax.random.key(2),

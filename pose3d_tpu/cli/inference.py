@@ -36,11 +36,13 @@ def parse_args(argv=None):
                         help="point cloud for teacher-mode inference")
     parser.add_argument("--shape_feature_dim", type=int, default=1024)
     parser.add_argument("--point_num", type=int, default=2500)
-    # int8 serving path (student only): PTQ calibrated on the input image
-    # itself — fine for a single-image demo; batch serving should calibrate
-    # on representative data (pose3d_tpu/serving/quant_student.py)
+    # int8 serving path: PTQ calibrated on the input image itself — fine for
+    # a single-image demo; batch serving should calibrate on representative
+    # data (pose3d_tpu/serving/quant_student.py, quant_teacher.py). Student
+    # quantizes the full VGG trunk; teacher mode quantizes the resnet50
+    # image encoder (the FLOPs bulk) and keeps the shape/fusion tail bf16.
     parser.add_argument("--int8", action="store_true",
-                        help="serve the student through the int8 PTQ path")
+                        help="serve through the int8 PTQ path")
     return parser.parse_args(argv)
 
 
@@ -66,11 +68,24 @@ def main(argv=None):
                                jnp.asarray(pc), train=False)
         variables = _load_ckpt_into(variables, opt.ckpt)
 
-        @jax.jit
-        def infer(v, x, p):
-            outputs, _, _ = model.apply(v, x, p, train=False)
-            return geometry.decode_predictions_inference(
-                tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+        if opt.int8:
+            from pose3d_tpu.serving.quant_teacher import (
+                quantize_teacher_resnet, make_teacher_int8_infer)
+
+            q = quantize_teacher_resnet(variables, [arr])
+            int8_infer = make_teacher_int8_infer(model)
+
+            @jax.jit
+            def infer(v, x, p):
+                outputs = int8_infer(q, v, x, p)
+                return geometry.decode_predictions_inference(
+                    tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+        else:
+            @jax.jit
+            def infer(v, x, p):
+                outputs, _, _ = model.apply(v, x, p, train=False)
+                return geometry.decode_predictions_inference(
+                    tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
 
         vp = np.array(infer(variables, jnp.asarray(arr), jnp.asarray(pc)))[0]
     else:
