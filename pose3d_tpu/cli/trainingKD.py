@@ -17,6 +17,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pose3d_tpu.cli import common
 from pose3d_tpu.data.loader import DataLoader
@@ -68,6 +69,12 @@ def parse_args(argv=None):
                         help="run photometric augs + normalize on-device "
                              "(loader emits raw pixels; fixes the GIL-bound "
                              "host bottleneck, docs/PERF.md)")
+    parser.add_argument("--int8_teacher", action="store_true",
+                        help="--crd only: run the frozen teacher's resnet50 "
+                             "through the int8 PTQ serving path inside the "
+                             "KD step (serving/quant_teacher.py); calibrated "
+                             "on the first eval batch. A deliberate "
+                             "approximation (~0.5%% teacher-logit error)")
     parser.add_argument("--device_views", action="store_true",
                         help="synthesize the flip/rot contrast views on-device"
                              " from ONE host-decoded crop (~3x less host work"
@@ -188,6 +195,19 @@ def main(argv=None):
                                  opt.student_model)
             student_state = student_state.replace(params=sv["params"],
                                                   batch_stats=sv["batch_stats"])
+        if opt.int8_teacher:
+            if opt.stage == 2 or opt.shape != "PointCloud":
+                raise SystemExit("--int8_teacher: --crd with a PointCloud "
+                                 "teacher only (resnet50 image encoder)")
+            from pose3d_tpu.serving import quantize_teacher_resnet
+
+            # calibrate activation scales on the first eval batch (always
+            # normalized images, matching what the teacher sees in the step)
+            calib_batch = next(iter(eval_loader))
+            q8 = quantize_teacher_resnet(
+                teacher_vars, [np.asarray(calib_batch["im"][:32])])
+            teacher_vars = {"variables": teacher_vars, "q8": q8}
+            print("int8 teacher: resnet50 quantized (52 convs)")
         if mesh is not None:
             student_state = replicate(student_state, mesh)
             teacher_vars = replicate(teacher_vars, mesh)
@@ -196,7 +216,8 @@ def main(argv=None):
                             result_path, bin_size=opt.bin_size,
                             temperature=opt.temperature, tau=opt.tau, mesh=mesh,
                             device_augment=opt.device_augment,
-                            device_views=opt.device_views)
+                            device_views=opt.device_views,
+                            int8_teacher=opt.int8_teacher)
         trainer.profile_dir = opt.profile_dir
         start_epoch = 0
         if opt.resume:

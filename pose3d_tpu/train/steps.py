@@ -172,6 +172,7 @@ def make_kd_crd_step(
     temperature: float = 1.0,
     device_augment: bool = False,
     device_views: bool = False,
+    int8_teacher: bool = False,
 ) -> Callable:
     """step(student_state, teacher_variables, batch7) -> (student_state, metrics).
 
@@ -181,7 +182,19 @@ def make_kd_crd_step(
     +-15 deg rotated views are synthesized here (ops/augment.synthesize_views)
     — implies device photometrics+normalize regardless of device_augment
     (the loader emits raw pixels in this mode).
+    int8_teacher: run the FROZEN teacher's resnet50 image encoder through the
+    int8 PTQ path (serving/quant_teacher.py) — the teacher fwd is pure
+    eval-mode inference inside this step, so serving-style quantization
+    applies; the step then takes teacher_variables = {"variables": tv,
+    "q8": quantize_teacher_resnet(tv, ...)}. A deliberate approximation of
+    the reference recipe (teacher logits/features carry ~0.5% int8 error);
+    opt-in, with the accuracy-drift evidence in tests/test_quant_teacher.py
+    and docs/PERF.md.
     """
+    if int8_teacher:
+        from pose3d_tpu.serving.quant_teacher import make_teacher_int8_kd_fwd
+
+        int8_fwd = make_teacher_int8_kd_fwd(teacher_model)
 
     def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng):
         valid = _valid_of(batch)
@@ -211,8 +224,14 @@ def make_kd_crd_step(
         # the frozen teacher's shape encoder runs once on the unique shapes
         # and tiles its features — exact with eval-mode BN, and it removes a
         # redundant 2x PointNet forward (2500 pts x 1024 dim) per step
-        t_out, _, t_feat = teacher_model.apply(teacher_vars, im, batch["shape"],
-                                               train=False, view_tile=3)
+        if int8_teacher:
+            t_out, t_feat = int8_fwd(teacher_vars["q8"],
+                                     teacher_vars["variables"],
+                                     im, batch["shape"], view_tile=3)
+        else:
+            t_out, _, t_feat = teacher_model.apply(teacher_vars, im,
+                                                   batch["shape"],
+                                                   train=False, view_tile=3)
         # frozen teacher: identical update to the reference's
         # grads-computed-then-ignored (base_class.py:363), minus wasted FLOPs
         t_out = jax.tree.map(jax.lax.stop_gradient, t_out)

@@ -288,7 +288,7 @@ class KDTrainer(_Base):
                  train_loader, eval_loader, category_names, result_path,
                  bin_size: int = 15, temperature: float = 1.0, tau: float = 0.5,
                  mesh=None, teacher_state=None, device_augment: bool = False,
-                 device_views: bool = False):
+                 device_views: bool = False, int8_teacher: bool = False):
         super().__init__(result_path, mesh)
         self.student_model = student_model
         self.teacher_model = teacher_model
@@ -303,6 +303,9 @@ class KDTrainer(_Base):
         self.tau = tau
         self.device_augment = device_augment
         self.device_views = device_views
+        # int8 frozen teacher (--crd only): teacher_vars is then
+        # {"variables": tv, "q8": quantized resnet} — steps.make_kd_crd_step
+        self.int8_teacher = int8_teacher
         self.student_eval_step = jax.jit(
             steps_lib.make_eval_step(student_model, "student", bin_size))
 
@@ -316,7 +319,8 @@ class KDTrainer(_Base):
     def fit_crd(self, epochs: int, start_epoch: int = 0):
         step = jax.jit(steps_lib.make_kd_crd_step(
             self.student_model, self.teacher_model, self.bin_size, self.temperature,
-            device_augment=self.device_augment, device_views=self.device_views),
+            device_augment=self.device_augment, device_views=self.device_views,
+            int8_teacher=self.int8_teacher),
             donate_argnums=(0,))
         return self._student_loop(step, self._view_keys(), epochs, start_epoch,
                                   "crd")

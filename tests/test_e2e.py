@@ -383,6 +383,23 @@ def test_kd_crd_device_views(data_root, tmp_path):
     assert os.path.isdir(os.path.join(kd_dir, "ckpt", "checkpoint"))
 
 
+def test_kd_crd_int8_teacher(data_root, tmp_path):
+    """--int8_teacher e2e: KD --crd with the frozen teacher's resnet50 run
+    through the int8 PTQ serving path inside the train step
+    (serving/quant_teacher.py; calibrated on the first eval batch)."""
+    from pose3d_tpu.cli import trainingKD
+
+    result_dir = str(tmp_path / "result")
+    trainingKD.main(_common_args(data_root, result_dir) + [
+        "--crd", "--tau", "0.5", "--n_epoch", "1", "--decrease", "1",
+        "--student_feature_dim", "64", "--int8_teacher",
+    ])
+    kd_dir = os.path.join(os.getcwd(), result_dir, "KD_ObjectNet3D")
+    log = open(os.path.join(kd_dir, "training_log.txt")).read()
+    assert "Student Epoch" in log
+    assert os.path.isdir(os.path.join(kd_dir, "ckpt", "checkpoint"))
+
+
 def test_stage1_memory_bank_resume(data_root, tmp_path, capsys):
     """--stage 1 --resume restores teacher+student+memory bank and continues
     from the next epoch (previously stage 1 had no resume path at all)."""

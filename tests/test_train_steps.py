@@ -111,6 +111,34 @@ def test_kd_crd_teacher_is_frozen(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_kd_crd_step_int8_teacher(rng):
+    """Opt-in int8 frozen teacher (serving/quant_teacher.py): the step runs
+    and its loss tracks the bf16-teacher step closely (the teacher is an
+    eval-mode constant inside this step, so the only delta is the backbone's
+    ~0.5% int8 error propagated through the KL terms)."""
+    from pose3d_tpu.serving import quantize_teacher_resnet
+
+    student = _small_student()
+    teacher = _small_teacher()
+    s_state = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                                 jax.random.key(0), torch_style_adam(1e-4))
+    s_state8 = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                                  jax.random.key(0), torch_style_adam(1e-4))
+    t_vars = teacher.init(jax.random.key(1), jnp.zeros((1, IMG, IMG, 3)),
+                          jnp.zeros((1, PTS, 3)), train=False)
+    batch = _batch(rng, with_views=True)
+    q8 = quantize_teacher_resnet(t_vars, [np.asarray(batch["im"])])
+
+    step = jax.jit(steps.make_kd_crd_step(student, teacher))
+    step8 = jax.jit(steps.make_kd_crd_step(student, teacher, int8_teacher=True))
+    _, m = step(s_state, t_vars, batch)
+    _, m8 = step8(s_state8, {"variables": t_vars, "q8": q8}, batch)
+    assert np.isfinite(float(m8["loss"]))
+    # same student/gt terms; only the teacher KL targets differ by int8 error
+    assert float(m["gt_loss"]) == pytest.approx(float(m8["gt_loss"]), rel=1e-5)
+    assert float(m["loss"]) == pytest.approx(float(m8["loss"]), rel=5e-2)
+
+
 def test_stage1_step_updates_both(rng):
     teacher = _small_vanilla()
     student = _small_student()
