@@ -43,6 +43,13 @@ def parse_args(argv=None):
     # image encoder (the FLOPs bulk) and keeps the shape/fusion tail bf16.
     parser.add_argument("--int8", action="store_true",
                         help="serve through the int8 PTQ path")
+    parser.add_argument("--save_quantized", type=str, default=None,
+                        help="with --int8: write the quantized pytree to "
+                             "this .npz (int8 on disk, ~4x smaller than the "
+                             "f32 ckpt) after calibration")
+    parser.add_argument("--load_quantized", type=str, default=None,
+                        help="with --int8: load a previously saved .npz "
+                             "instead of calibrating")
     return parser.parse_args(argv)
 
 
@@ -70,9 +77,18 @@ def main(argv=None):
 
         if opt.int8:
             from pose3d_tpu.serving.quant_teacher import (
-                quantize_teacher_resnet, make_teacher_int8_infer)
+                load_quantized_teacher, make_teacher_int8_infer,
+                quantize_teacher_resnet)
 
-            q = quantize_teacher_resnet(variables, [arr])
+            if opt.load_quantized:
+                q = load_quantized_teacher(opt.load_quantized)
+            else:
+                q = quantize_teacher_resnet(variables, [arr])
+            if opt.save_quantized:
+                from pose3d_tpu.serving import save_quantized
+
+                save_quantized(q, opt.save_quantized)
+                print(f"quantized teacher resnet saved to {opt.save_quantized}")
             int8_infer = make_teacher_int8_infer(model)
 
             @jax.jit
@@ -96,9 +112,16 @@ def main(argv=None):
         variables = _load_ckpt_into(variables, opt.ckpt)
 
         if opt.int8:
-            from pose3d_tpu.serving import quantize_student, student_int8_infer
+            from pose3d_tpu.serving import (load_quantized, quantize_student,
+                                            save_quantized, student_int8_infer)
 
-            q = quantize_student(variables, [arr])
+            if opt.load_quantized:
+                q = load_quantized(opt.load_quantized)
+            else:
+                q = quantize_student(variables, [arr])
+            if opt.save_quantized:
+                save_quantized(q, opt.save_quantized)
+                print(f"quantized student saved to {opt.save_quantized}")
 
             @jax.jit
             def infer(qq, x):

@@ -17,6 +17,9 @@ from pose3d_tpu.serving.quant_student import (  # noqa: F401
 from pose3d_tpu.serving.quant_teacher import (  # noqa: F401
     load_quantized_teacher,
     make_teacher_int8_infer,
+    quantize_resnet,
+    quantize_teacher_mv,
     quantize_teacher_resnet,
     resnet50_int8_forward,
+    resnet_int8_forward,
 )

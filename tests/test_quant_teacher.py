@@ -138,6 +138,45 @@ def test_teacher_quantized_save_load_roundtrip(tmp_path):
     assert q2["blocks"][0][0]["w"].dtype == jnp.int8
 
 
+def test_int8_mv_teacher_matches_f32_model():
+    """MultiView teacher: both conv trunks int8 (resnet50 image + resnet18
+    render encoder); heads track the flax eval graph and the MV artifact
+    round-trips through the {img, shape} npz schema."""
+    from pose3d_tpu.serving.quant_student import save_quantized
+    from pose3d_tpu.serving.quant_teacher import (load_quantized_teacher,
+                                                  quantize_teacher_mv)
+
+    rng = np.random.default_rng(5)
+    m = PoseEstimator(shape="MultiView", view_num=3, img_feature_dim=64,
+                      shape_feature_dim=64)
+    im = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    rend = jnp.asarray(rng.standard_normal((2, 3, 64, 64, 3)), jnp.float32)
+    v = _boosted_variables(m, im, rend)
+    q = quantize_teacher_mv(v, [np.asarray(im)], [np.asarray(rend)])
+    assert q["shape"]["blocks"][1][0]["w"].dtype == jnp.int8
+    assert len(q["shape"]["blocks"]) == 8      # resnet18: 2+2+2+2
+    assert len(q["shape"]["blocks"][0]) == 2   # stage-0 basic block: no ds
+    assert len(q["shape"]["blocks"][2]) == 3   # stage-1 opener: + downsample
+
+    infer = make_teacher_int8_infer(m)
+    out_q = jax.jit(infer)(q, v, im, rend)
+    out_f, _, _ = m.apply(v, im, rend, train=False)
+    assert [o.shape[-1] for o in out_q] == [24, 12, 24, 24, 12, 24]
+    for i, (a, b) in enumerate(zip(out_q, out_f)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        cos = np.sum(a * b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert cos > 0.95, (i, cos)
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "mv_q.npz")
+        save_quantized(q, path)
+        q2 = load_quantized_teacher(path)
+        out2 = jax.jit(infer)(q2, v, im, rend)
+        for a, b in zip(out_q, out2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_int8_resnet_replica_tracks_flax_backbone():
     """The quantized resnet50 fc output must track the flax backbone's
     img_feature closely (this isolates the replica from the bf16 tail)."""
