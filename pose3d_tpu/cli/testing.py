@@ -31,6 +31,15 @@ def parse_args(argv=None):
     common.add_common_flags(parser)
     parser.add_argument("--random_model", action="store_true")
     parser.add_argument("--output_dir", type=str, default=None)
+    # int8 PTQ serving eval (pose3d_tpu/serving): student quantizes the VGG
+    # trunk; teacher quantizes its resnet trunk(s) — PointCloud: resnet50
+    # image encoder; MultiView: resnet50 + per-view resnet18. Calibrated on
+    # the first --calib_batches eval batches. The contrastive val loss is
+    # not computed on this path (the int8 teacher fwd skips the projector).
+    parser.add_argument("--int8", action="store_true",
+                        help="evaluate through the int8 PTQ serving path")
+    parser.add_argument("--calib_batches", type=int, default=4,
+                        help="eval batches used to calibrate --int8 scales")
     opt = parser.parse_args(argv)
     common.normalize_shape(opt)
     # reference testing.py defaults (testing.py:21-22)
@@ -57,6 +66,64 @@ def build_eval_dataset(opt):
         return datasets.Pix3DContrast(root_dir, annotation_file, train=False,
                                       cls_choice=cats, input_dim=opt.input_dim)
     raise SystemExit(f"unsupported dataset {opt.dataset}")
+
+
+def _int8_eval_step(opt, model, kind, variables, dataset):
+    """Build an evaluate_categories-compatible eval step that runs the
+    quantized serving forward (same metric surface as make_eval_step minus
+    the contrastive val loss). The quantized pytree is passed as a jit
+    ARGUMENT — closing over it embeds the weights as literals and stalls
+    the remote compiler (docs/PERF.md round-3 int8 note)."""
+    from pose3d_tpu import geometry
+    from pose3d_tpu.data.loader import DataLoader
+    from pose3d_tpu.losses import pose_loss_per_sample
+
+    dtype = jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32
+    calib_loader = DataLoader(dataset, opt.batch_size, shuffle=False,
+                              num_workers=0)
+    ims, shapes = [], []
+    for i, b in enumerate(calib_loader):
+        if i >= opt.calib_batches:
+            break
+        ims.append(np.asarray(b["im"]))
+        if kind == "teacher":
+            shapes.append(np.asarray(b["shape"]))
+
+    if kind == "student":
+        from pose3d_tpu.serving import quantize_student, student_int8_infer
+
+        q = quantize_student(variables, ims)
+
+        def raw(qq, v, batch):
+            outputs = [o.astype(jnp.float32)
+                       for o in student_int8_infer(qq, batch["im"], dtype)]
+            per = pose_loss_per_sample(outputs, batch["label"], opt.bin_size)
+            preds = geometry.decode_predictions(
+                tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+            return {"pred": preds, "loss": jnp.mean(per),
+                    "per_sample_loss": per}
+    else:
+        from pose3d_tpu.serving import (make_teacher_int8_infer,
+                                        quantize_teacher_mv,
+                                        quantize_teacher_resnet)
+
+        if opt.shape == "MultiView":
+            q = quantize_teacher_mv(variables, ims, shapes)
+        else:
+            q = quantize_teacher_resnet(variables, ims)
+        infer = make_teacher_int8_infer(model)
+
+        def raw(qq, v, batch):
+            outputs = [o.astype(jnp.float32)
+                       for o in infer(qq, v, batch["im"], batch["shape"])]
+            per = pose_loss_per_sample(outputs, batch["label"], opt.bin_size)
+            preds = geometry.decode_predictions(
+                tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+            return {"pred": preds, "loss": jnp.mean(per),
+                    "per_sample_loss": per}
+
+    jstep = jax.jit(raw)
+    return lambda v, b: jstep(q, v, b)
 
 
 def main(argv=None):
@@ -93,7 +160,10 @@ def main(argv=None):
     logname = os.path.join(predictions_path, "testing_log.txt")
     open(logname, "w").write("\n")
 
-    eval_step = jax.jit(steps_lib.make_eval_step(model, kind, opt.bin_size))
+    if opt.int8:
+        eval_step = _int8_eval_step(opt, model, kind, variables, dataset)
+    else:
+        eval_step = jax.jit(steps_lib.make_eval_step(model, kind, opt.bin_size))
 
     def batches():
         for b in loader:

@@ -203,6 +203,26 @@ def test_testing_cli_linemod(tmp_path):
     assert len(result.per_category_acc) == 2  # obj 1 and 2
 
 
+def test_testing_cli_int8(data_root, tmp_path):
+    """--int8 on the testing CLI: dataset-scale eval through the PTQ serving
+    path (student kind here), same per-category surface; Acc/Med must track
+    the bf16 eval closely on the fixture (random-init student — this pins
+    wiring, the accuracy evidence on trained weights lives in
+    benchmarks/int8_student_eval.py)."""
+    from pose3d_tpu.cli import testing
+
+    args = ["--dataset", "ObjectNet3D", "--shape", "None", "--data_root",
+            data_root, "--batch_size", "4", "--workers", "0",
+            "--input_dim", "64", "--img_feature_dim", "64"]
+    ref = testing.main(args + ["--output_dir", str(tmp_path / "p_bf16")])
+    q = testing.main(args + ["--output_dir", str(tmp_path / "p_int8"),
+                             "--int8"])
+    assert "Average for all categories" in open(
+        os.path.join(str(tmp_path / "p_int8"), "testing_log.txt")).read()
+    assert set(q.per_category_acc) == set(ref.per_category_acc)
+    assert abs(q.sample_med - ref.sample_med) < 15.0  # same decode surface
+
+
 def test_testing_cli_pix3d(tmp_path):
     from pose3d_tpu.cli import testing
     from pose3d_tpu.data import synthetic
