@@ -70,11 +70,13 @@ def parse_args(argv=None):
                              "(loader emits raw pixels; fixes the GIL-bound "
                              "host bottleneck, docs/PERF.md)")
     parser.add_argument("--int8_teacher", action="store_true",
-                        help="--crd only: run the frozen teacher's resnet50 "
-                             "through the int8 PTQ serving path inside the "
-                             "KD step (serving/quant_teacher.py); calibrated "
-                             "on the first eval batch. A deliberate "
-                             "approximation (~0.5%% teacher-logit error)")
+                        help="--crd / --stage 2: run the frozen teacher's "
+                             "resnet trunk (crd: resnet50; stage 2: the "
+                             "vanilla resnet18) through the int8 PTQ serving "
+                             "path inside the KD step "
+                             "(serving/quant_teacher.py); calibrated on the "
+                             "first eval batch. A deliberate approximation "
+                             "(~0.5%% teacher-logit error)")
     parser.add_argument("--device_views", action="store_true",
                         help="synthesize the flip/rot contrast views on-device"
                              " from ONE host-decoded crop (~3x less host work"
@@ -196,18 +198,22 @@ def main(argv=None):
             student_state = student_state.replace(params=sv["params"],
                                                   batch_stats=sv["batch_stats"])
         if opt.int8_teacher:
-            if opt.stage == 2 or opt.shape != "PointCloud":
-                raise SystemExit("--int8_teacher: --crd with a PointCloud "
-                                 "teacher only (resnet50 image encoder)")
-            from pose3d_tpu.serving import quantize_teacher_resnet
+            if opt.shape != "PointCloud":
+                raise SystemExit("--int8_teacher: PointCloud teachers only")
+            from pose3d_tpu.serving import (quantize_teacher_resnet,
+                                            quantize_teacher_vanilla)
 
             # calibrate activation scales on the first eval batch (always
             # normalized images, matching what the teacher sees in the step)
             calib_batch = next(iter(eval_loader))
-            q8 = quantize_teacher_resnet(
-                teacher_vars, [np.asarray(calib_batch["im"][:32])])
+            calib = [np.asarray(calib_batch["im"][:32])]
+            if opt.stage == 2:
+                q8 = quantize_teacher_vanilla(teacher_vars, calib)
+                print("int8 teacher: vanilla resnet18 quantized")
+            else:
+                q8 = quantize_teacher_resnet(teacher_vars, calib)
+                print("int8 teacher: resnet50 quantized (52 convs)")
             teacher_vars = {"variables": teacher_vars, "q8": q8}
-            print("int8 teacher: resnet50 quantized (52 convs)")
         if mesh is not None:
             student_state = replicate(student_state, mesh)
             teacher_vars = replicate(teacher_vars, mesh)

@@ -20,6 +20,7 @@ from pose3d_tpu.serving.quant_teacher import (  # noqa: F401
     quantize_resnet,
     quantize_teacher_mv,
     quantize_teacher_resnet,
+    quantize_teacher_vanilla,
     resnet50_int8_forward,
     resnet_int8_forward,
 )

@@ -328,6 +328,51 @@ def make_teacher_int8_infer(teacher):
     return infer
 
 
+def quantize_teacher_vanilla(variables, calibration_batches) -> dict:
+    """Vanilla (stage-1/stage-2) teacher, PoseEstimatorVanilla: quantize its
+    resnet18 image encoder (ShapeEncoderPC + compress MLP + heads stay in
+    the model dtype through flax)."""
+    return quantize_resnet(variables["params"]["ResNet_0"],
+                           variables["batch_stats"]["ResNet_0"],
+                           calibration_batches, arch="resnet18")
+
+
+def make_vanilla_int8_kd_fwd(teacher):
+    """Frozen vanilla-teacher forward for the stage-2 step: fn(q, variables,
+    im, shape, view_tile) -> [6 head outputs] — element 0 of
+    PoseEstimatorVanilla.apply(..., train=False, view_tile=v), the only
+    thing stage-2 response KD consumes (models/estimators.py; reference
+    base_class.py:626)."""
+    if teacher.shape != "PointCloud":
+        raise NotImplementedError("int8 vanilla KD teacher: PointCloud only")
+    from pose3d_tpu.models import ShapeEncoderPC
+    from pose3d_tpu.models.common import DenseBNRelu
+    from pose3d_tpu.models.estimators import _SixHeads
+
+    sp = ShapeEncoderPC(teacher.shape_feature_dim, dtype=teacher.dtype)
+    compress = [DenseBNRelu(w, dtype=teacher.dtype) for w in (800, 400, 200)]
+    heads = _SixHeads(teacher.azi_classes, teacher.ele_classes,
+                      teacher.inp_classes, teacher.dtype)
+
+    def fwd(q, variables, im, shape, view_tile=3):
+        p, b = variables["params"], variables["batch_stats"]
+        img_feature = resnet_int8_forward(q, im, arch="resnet18",
+                                          dtype=teacher.dtype)
+        shape_feature = sp.apply(
+            {"params": p["ShapeEncoderPC_0"],
+             "batch_stats": b["ShapeEncoderPC_0"]}, shape, train=False)
+        if view_tile > 1:
+            shape_feature = jnp.tile(shape_feature, (view_tile, 1))
+        x = jnp.concatenate([shape_feature, img_feature], axis=-1)
+        for j, layer in enumerate(compress):
+            x = layer.apply({"params": p[f"DenseBNRelu_{j}"],
+                             "batch_stats": b[f"DenseBNRelu_{j}"]},
+                            x, train=False)
+        return heads.apply({"params": p["_SixHeads_0"]}, x)
+
+    return fwd
+
+
 def make_teacher_int8_kd_fwd(teacher):
     """Frozen-teacher forward for the KD --crd step with the resnet50 image
     encoder int8: fn(q, variables, im, shape, view_tile) -> (outputs,

@@ -349,7 +349,16 @@ def make_stage2_step(
     bin_size: int = 15,
     temperature: float = 1.0,
     device_views: bool = False,
+    int8_teacher: bool = False,
 ) -> Callable:
+    # int8_teacher: frozen vanilla teacher's resnet18 through the int8
+    # serving path (see make_kd_crd_step — same contract: teacher_vars
+    # becomes {"variables": tv, "q8": quantize_teacher_vanilla(tv, ...)})
+    if int8_teacher:
+        from pose3d_tpu.serving.quant_teacher import make_vanilla_int8_kd_fwd
+
+        int8_fwd = make_vanilla_int8_kd_fwd(teacher_model)
+
     def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng):
         valid = _valid_of(batch)
         valid3 = None if valid is None else jnp.concatenate([valid] * 3, axis=0)
@@ -371,8 +380,12 @@ def make_stage2_step(
             rngs={"dropout": rng}, mutable=["batch_stats"],
         )
         # view_tile=3: see make_kd_crd_step — shape encoder runs once
-        t_out, _ = teacher_model.apply(teacher_vars, im, batch["shape"],
-                                       train=False, view_tile=3)
+        if int8_teacher:
+            t_out = int8_fwd(teacher_vars["q8"], teacher_vars["variables"],
+                             im, batch["shape"], view_tile=3)
+        else:
+            t_out, _ = teacher_model.apply(teacher_vars, im, batch["shape"],
+                                           train=False, view_tile=3)
         t_out = jax.tree.map(jax.lax.stop_gradient, t_out)
 
         s_out, t_out = _f32(s_out), _f32(t_out)

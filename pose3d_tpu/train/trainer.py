@@ -329,7 +329,7 @@ class KDTrainer(_Base):
     def fit_stage2(self, epochs: int, start_epoch: int = 0):
         step = jax.jit(steps_lib.make_stage2_step(
             self.student_model, self.teacher_model, self.bin_size, self.temperature,
-            device_views=self.device_views),
+            device_views=self.device_views, int8_teacher=self.int8_teacher),
             donate_argnums=(0,))
         return self._student_loop(step, self._view_keys(), epochs, start_epoch,
                                   "stage2")

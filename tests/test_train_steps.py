@@ -139,6 +139,33 @@ def test_kd_crd_step_int8_teacher(rng):
     assert float(m["loss"]) == pytest.approx(float(m8["loss"]), rel=5e-2)
 
 
+def test_stage2_step_int8_teacher(rng):
+    """Stage-2 variant of the int8 frozen teacher: the vanilla teacher's
+    resnet18 runs through the serving path; gt term identical, total loss
+    tracks the flax-teacher step."""
+    from pose3d_tpu.serving import quantize_teacher_vanilla
+
+    student = _small_student()
+    teacher = _small_vanilla()
+    s_state = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                                 jax.random.key(0), torch_style_adam(1e-4))
+    s_state8 = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                                  jax.random.key(0), torch_style_adam(1e-4))
+    t_vars = teacher.init(jax.random.key(1), jnp.zeros((1, IMG, IMG, 3)),
+                          jnp.zeros((1, PTS, 3)), train=False)
+    batch = _batch(rng, with_views=True)
+    q8 = quantize_teacher_vanilla(t_vars, [np.asarray(batch["im"])])
+    assert len(q8["blocks"]) == 8  # resnet18
+
+    step = jax.jit(steps.make_stage2_step(student, teacher))
+    step8 = jax.jit(steps.make_stage2_step(student, teacher, int8_teacher=True))
+    _, m = step(s_state, t_vars, batch)
+    _, m8 = step8(s_state8, {"variables": t_vars, "q8": q8}, batch)
+    assert np.isfinite(float(m8["loss"]))
+    assert float(m["gt_loss"]) == pytest.approx(float(m8["gt_loss"]), rel=1e-5)
+    assert float(m["loss"]) == pytest.approx(float(m8["loss"]), rel=5e-2)
+
+
 def test_stage1_step_updates_both(rng):
     teacher = _small_vanilla()
     student = _small_student()
