@@ -318,6 +318,38 @@ def test_multidevice_kd_step_matches_single_device(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+def test_multidevice_int8_teacher_kd_step(rng):
+    """The int8-teacher KD step must shard under GSPMD like the bf16 one:
+    int8 convs partition over the DP mesh and the 8-device run reproduces
+    the single-device loss (the quantized pytree is replicated alongside
+    the teacher variables)."""
+    assert jax.device_count() >= 8
+    import optax
+    from pose3d_tpu.serving import quantize_teacher_resnet
+
+    student = _small_student()
+    teacher = _small_teacher()
+    s_state = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                                 jax.random.key(0), optax.sgd(0.1))
+    t_vars = teacher.init(jax.random.key(1), jnp.zeros((1, IMG, IMG, 3)),
+                          jnp.zeros((1, PTS, 3)), train=False)
+    batch = _batch(rng, n=8, with_views=True)
+    q8 = quantize_teacher_resnet(t_vars, [np.asarray(batch["im"])])
+    tv8 = {"variables": t_vars, "q8": q8}
+    step = jax.jit(steps.make_kd_crd_step(student, teacher, int8_teacher=True))
+
+    ref_state, ref_metrics = step(s_state, tv8, batch)
+
+    mesh = make_mesh(jax.devices()[:8])
+    s_state2 = create_train_state(student, (jnp.zeros((1, IMG, IMG, 3)),),
+                                  jax.random.key(0), optax.sgd(0.1))
+    out_state, out_metrics = step(replicate(s_state2, mesh),
+                                  replicate(tv8, mesh),
+                                  shard_batch(batch, mesh))
+    assert float(ref_metrics["loss"]) == pytest.approx(
+        float(out_metrics["loss"]), rel=1e-4)
+
+
 def test_multidevice_nce_sees_global_batch(rng):
     """The in-batch NCE Gram matrix must span the GLOBAL batch when sharded:
     computing on each shard separately gives a different loss."""
