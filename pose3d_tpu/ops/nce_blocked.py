@@ -1,0 +1,255 @@
+"""Blocked-Gram infoNCE-KD: the wide-batch Pallas kernel family.
+
+Same loss semantics as ops/nce_fused.fused_info_nce (= losses.info_nce_kd
+without dropout, reference model_utils.py:277-285 incl. the double-counted
+positive), but the (N, N) similarity matrix is never materialized: the
+forward runs a flash-attention-style online log-sum-exp over column blocks
+(residuals per row: running max m, sum-exp se, positive logit pos — 3N
+floats), and the backward recomputes z blockwise in two passes (row-major
+for ds, col-major for dt) so each output block stays resident across its
+inner accumulation loop (Pallas output-revisit rule).
+
+Why: the single-block kernel VMEM-OOMs at N≈2048 (N² Gram > 16 MB), and XLA
+materializes the N² Gram + its softmax in HBM for both passes — at N=8192
+that is 268 MB * several round trips on an 819 GB/s part, while this kernel
+streams O(N·D) bytes. This is exactly the ">16-chip global-batch NCE"
+regime ROADMAP left open (b = per-chip batch x DP width reaches 2048+ at
+16 chips x 128 or 64 chips x 160).
+
+VMEM per grid step at block B: z block B² f32 + two (B, D) operand blocks —
+B=512, D=200: ~1.9 MB. N is padded up to a block multiple; padded columns
+are masked to -inf inside the kernel (they must not leak into any real
+row's denominator), padded rows are zeroed out of the backward.
+
+On-chip A/B vs the XLA lowering of the same loss: see the "blocked NCE"
+table in docs/PERF.md (round 3).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30  # large-negative instead of -inf: keeps exp() math NaN-free
+
+
+def _normalize(x, eps=1e-12):
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.maximum(norm, eps), jnp.maximum(norm, eps)
+
+
+def _masked_z(s, t, tau, j, block, n):
+    """Normalized block Gram with padded COLUMNS masked to _NEG."""
+    z = jnp.dot(s, t.T, preferred_element_type=jnp.float32) / tau
+    col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) + j * block
+    return jnp.where(col < n, z, _NEG)
+
+
+def _fwd_kernel(tau_ref, n_ref, s_ref, t_ref, m_ref, se_ref, pos_ref):
+    i, j = pl.program_id(0), pl.program_id(1)
+    block = s_ref.shape[0]
+    tau = tau_ref[0, 0]
+    n = n_ref[0, 0]
+    s, _ = _normalize(s_ref[:].astype(jnp.float32))
+    t, _ = _normalize(t_ref[:].astype(jnp.float32))
+    z = _masked_z(s, t, tau, j, block, n)
+    blk_max = jnp.max(z, axis=-1, keepdims=True)  # (B, 1)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = blk_max
+        se_ref[:] = jnp.sum(jnp.exp(z - blk_max), axis=-1, keepdims=True)
+
+    @pl.when(j != 0)
+    def _():
+        m_old = m_ref[:]
+        m_new = jnp.maximum(m_old, blk_max)
+        se_ref[:] = (se_ref[:] * jnp.exp(m_old - m_new)
+                     + jnp.sum(jnp.exp(z - m_new), axis=-1, keepdims=True))
+        m_ref[:] = m_new
+
+    @pl.when(j == i)
+    def _():
+        rows = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+        pos_ref[:] = jnp.sum(jnp.where(rows == cols, z, 0.0), axis=-1,
+                             keepdims=True)
+
+
+def _dz_block(z, m, denom, pos, g_over_n, i, j, block, n):
+    """dL/dz for one (B, B) block, padded ROWS zeroed."""
+    q = jnp.exp(z - m) / denom
+    dz = q * g_over_n
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    cols_j = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+    diag = (rows_i + i * block) == (cols_j + j * block)
+    q_pos = jnp.exp(pos - m) / denom  # (B, 1)
+    dz = dz + jnp.where(diag, (q_pos - 1.0) * g_over_n, 0.0)
+    row = rows_i + i * block
+    return jnp.where(row < n, dz, 0.0)
+
+
+def _bwd_ds_kernel(tau_ref, n_ref, g_ref, s_ref, t_ref, m_ref, de_ref,
+                   pos_ref, ds_ref):
+    i, j = pl.program_id(0), pl.program_id(1)
+    block = s_ref.shape[0]
+    tau = tau_ref[0, 0]
+    n = n_ref[0, 0]
+    s, _ = _normalize(s_ref[:].astype(jnp.float32))
+    t, _ = _normalize(t_ref[:].astype(jnp.float32))
+    z = _masked_z(s, t, tau, j, block, n)
+    dz = _dz_block(z, m_ref[:], de_ref[:], pos_ref[:],
+                   g_ref[0, 0] / n.astype(jnp.float32), i, j, block, n)
+    update = jnp.dot(dz, t, preferred_element_type=jnp.float32) / tau
+
+    @pl.when(j == 0)
+    def _():
+        ds_ref[:] = update
+
+    @pl.when(j != 0)
+    def _():
+        ds_ref[:] = ds_ref[:] + update
+
+
+def _bwd_dt_kernel(tau_ref, n_ref, g_ref, s_ref, t_ref, m_ref, de_ref,
+                   pos_ref, dt_ref):
+    # grid = (col blocks, row blocks): j outer so dt[j] stays resident
+    j, i = pl.program_id(0), pl.program_id(1)
+    block = s_ref.shape[0]
+    tau = tau_ref[0, 0]
+    n = n_ref[0, 0]
+    s, _ = _normalize(s_ref[:].astype(jnp.float32))
+    t, _ = _normalize(t_ref[:].astype(jnp.float32))
+    z = _masked_z(s, t, tau, j, block, n)
+    dz = _dz_block(z, m_ref[:], de_ref[:], pos_ref[:],
+                   g_ref[0, 0] / n.astype(jnp.float32), i, j, block, n)
+    update = jnp.dot(dz.T, s, preferred_element_type=jnp.float32) / tau
+
+    @pl.when(i == 0)
+    def _():
+        dt_ref[:] = update
+
+    @pl.when(i != 0)
+    def _():
+        dt_ref[:] = dt_ref[:] + update
+
+
+def _resolve_interpret(interpret):
+    if interpret is None:
+        return jax.devices()[0].platform != "tpu"
+    return interpret
+
+
+def _pad(x, n_pad):
+    n, d = x.shape
+    if n == n_pad:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((n_pad - n, d), x.dtype)], axis=0)
+
+
+def _smem_spec():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _fwd_call(s, t, tau, block, interpret):
+    interpret = _resolve_interpret(interpret)
+    n, d = s.shape
+    nb = pl.cdiv(n, block)
+    n_pad = nb * block
+    sp, tp = _pad(s, n_pad), _pad(t, n_pad)
+    row_spec = pl.BlockSpec((block, d), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((block, d), lambda i, j: (j, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((block, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+    m, se, pos = pl.pallas_call(
+        _fwd_kernel,
+        grid=(nb, nb),
+        out_shape=(jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),) * 3,
+        in_specs=[_smem_spec(), _smem_spec(), row_spec, col_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        interpret=interpret,
+    )(jnp.asarray([[tau]], jnp.float32), jnp.asarray([[n]], jnp.int32),
+      sp, tp)
+    m, se, pos = m[:n], se[:n], pos[:n]
+    denom = jnp.exp(pos - m) + se
+    loss = jnp.mean(-(pos - m) + jnp.log(denom))
+    return loss, (m, denom, pos)
+
+
+def _bwd_call(s, t, tau, block, m, denom, pos, g, interpret):
+    interpret = _resolve_interpret(interpret)
+    n, d = s.shape
+    nb = pl.cdiv(n, block)
+    n_pad = nb * block
+    sp, tp = _pad(s, n_pad), _pad(t, n_pad)
+    pad1 = lambda x: _pad(x, n_pad)
+    mp, dp, pp = pad1(m), pad1(denom), pad1(pos)
+    scal = [jnp.asarray([[tau]], jnp.float32), jnp.asarray([[n]], jnp.int32),
+            jnp.asarray([[g]], jnp.float32)]
+    by_i = lambda i, j: (i, 0)
+    by_j = lambda i, j: (j, 0)
+
+    def vspec(index_map, width):
+        return pl.BlockSpec((block, width), index_map,
+                            memory_space=pltpu.VMEM)
+
+    ds_n = pl.pallas_call(
+        _bwd_ds_kernel,
+        grid=(nb, nb),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        in_specs=[_smem_spec()] * 3
+        + [vspec(by_i, d), vspec(by_j, d),
+           vspec(by_i, 1), vspec(by_i, 1), vspec(by_i, 1)],
+        out_specs=vspec(by_i, d),
+        interpret=interpret,
+    )(*scal, sp, tp, mp, dp, pp)
+
+    # col-major pass: program_id(0)=j (t rows), program_id(1)=i (s rows)
+    dt_n = pl.pallas_call(
+        _bwd_dt_kernel,
+        grid=(nb, nb),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+        in_specs=[_smem_spec()] * 3
+        + [vspec(by_j, d), vspec(by_i, d),
+           vspec(by_j, 1), vspec(by_j, 1), vspec(by_j, 1)],
+        out_specs=vspec(by_i, d),
+        interpret=interpret,
+    )(*scal, sp, tp, mp, dp, pp)
+
+    ds_n, dt_n = ds_n[:n], dt_n[:n]
+    # back through the row L2 normalization (outside the kernel: O(N D))
+    s_n, s_norm = _normalize(s.astype(jnp.float32))
+    t_n, t_norm = _normalize(t.astype(jnp.float32))
+    ds = (ds_n - jnp.sum(ds_n * s_n, axis=-1, keepdims=True) * s_n) / s_norm
+    dt = (dt_n - jnp.sum(dt_n * t_n, axis=-1, keepdims=True) * t_n) / t_norm
+    return ds.astype(s.dtype), dt.astype(t.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def blocked_info_nce(s, t, tau: float = 0.1, block: int = 512,
+                     interpret: bool | None = None):
+    """Blocked-Gram infoNCE-KD loss (no dropout; see module docstring).
+    N need not divide `block` (internal padding + masking). interpret=None
+    auto-selects interpreter mode off-TPU."""
+    loss, _ = _fwd_call(s, t, tau, block, interpret)
+    return loss
+
+
+def _vjp_fwd(s, t, tau, block, interpret):
+    loss, (m, denom, pos) = _fwd_call(s, t, tau, block, interpret)
+    return loss, (s, t, m, denom, pos)
+
+
+def _vjp_bwd(tau, block, interpret, residuals, g):
+    s, t, m, denom, pos = residuals
+    return _bwd_call(s, t, tau, block, m, denom, pos, g, interpret)
+
+
+blocked_info_nce.defvjp(_vjp_fwd, _vjp_bwd)

@@ -89,15 +89,22 @@ def make_teacher_train_step(
 
     def _nce(img_proj, fused, nce_rng, valid):
         if not use_fused_nce or valid is not None:
-            # the fused kernel has no padded-row masking; valid batches route
-            # through the (mathematically identical) XLA path
+            # the fused kernels have no padded-row masking; valid batches
+            # route through the (mathematically identical) XLA path
             return info_nce_kd(img_proj, fused, nce_tau, dropout_rng=nce_rng,
                                dropout_rate=nce_dropout, valid=valid)
-        from pose3d_tpu.ops.nce_fused import fused_info_nce
-
         if nce_dropout > 0.0:
             keep = jax.random.bernoulli(nce_rng, 1.0 - nce_dropout, fused.shape)
             fused = jnp.where(keep, fused / (1.0 - nce_dropout), 0.0)
+        if img_proj.shape[0] > 1024:
+            # wide-global-batch regime: the single-block kernel's b^2 Gram
+            # no longer fits VMEM; stream it with the blocked online-LSE
+            # kernel instead (ops/nce_blocked.py)
+            from pose3d_tpu.ops.nce_blocked import blocked_info_nce
+
+            return blocked_info_nce(img_proj, fused, nce_tau, 512, None)
+        from pose3d_tpu.ops.nce_fused import fused_info_nce
+
         return fused_info_nce(img_proj, fused, nce_tau, None)
 
     def loss_fn(params, batch_stats, batch: Batch, rng):

@@ -328,6 +328,52 @@ def test_fused_nce_gradient_matches_xla(rng):
                                rtol=1e-4, atol=1e-6)
 
 
+def test_blocked_nce_forward_matches_xla(rng):
+    """Blocked-Gram kernel (ops/nce_blocked.py): online-LSE forward over
+    column blocks must reproduce the XLA loss, including when N does not
+    divide the block (padded columns masked out of every denominator)."""
+    from pose3d_tpu.losses import info_nce_kd
+    from pose3d_tpu.ops.nce_blocked import blocked_info_nce
+
+    for n, block in ((48, 16), (50, 16), (16, 16), (7, 16)):
+        s = jnp.asarray(rng.standard_normal((n, 200)).astype(np.float32))
+        t = jnp.asarray(rng.standard_normal((n, 200)).astype(np.float32))
+        ref = float(info_nce_kd(s, t, 0.5, dropout_rng=None))
+        out = float(blocked_info_nce(s, t, 0.5, block, True))
+        assert out == pytest.approx(ref, rel=1e-5), (n, block)
+
+
+def test_blocked_nce_gradient_matches_xla(rng):
+    from pose3d_tpu.losses import info_nce_kd
+    from pose3d_tpu.ops.nce_blocked import blocked_info_nce
+
+    for n, block in ((32, 16), (26, 16)):
+        s = jnp.asarray(rng.standard_normal((n, 64)).astype(np.float32))
+        t = jnp.asarray(rng.standard_normal((n, 64)).astype(np.float32))
+        ref_ds, ref_dt = jax.grad(
+            lambda a, b: info_nce_kd(a, b, 0.5, dropout_rng=None),
+            argnums=(0, 1))(s, t)
+        out_ds, out_dt = jax.grad(
+            lambda a, b: blocked_info_nce(a, b, 0.5, 16, True),
+            argnums=(0, 1))(s, t)
+        np.testing.assert_allclose(np.asarray(out_ds), np.asarray(ref_ds),
+                                   rtol=1e-4, atol=1e-6, err_msg=str(n))
+        np.testing.assert_allclose(np.asarray(out_dt), np.asarray(ref_dt),
+                                   rtol=1e-4, atol=1e-6, err_msg=str(n))
+
+
+def test_blocked_nce_matches_single_block_kernel(rng):
+    """The two kernels implement the same loss: blocked == single-block."""
+    from pose3d_tpu.ops.nce_blocked import blocked_info_nce
+    from pose3d_tpu.ops.nce_fused import fused_info_nce
+
+    s = jnp.asarray(rng.standard_normal((64, 200)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((64, 200)).astype(np.float32))
+    a = float(blocked_info_nce(s, t, 0.1, 32, True))
+    b = float(fused_info_nce(s, t, 0.1, True))
+    assert a == pytest.approx(b, rel=1e-5)
+
+
 def test_pallas_pointnet_matches_xla(rng):
     _, _, folded = _folded(rng)
     # P deliberately NOT a multiple of the 512 block to exercise padding
