@@ -91,11 +91,17 @@ def main(argv=None):
                 print(f"quantized teacher resnet saved to {opt.save_quantized}")
             int8_infer = make_teacher_int8_infer(model)
 
+            # q rides as a jit ARGUMENT — closing over it embeds the int8
+            # weights as graph literals and stalls the remote compiler
+            # (serving/quant_student.py note)
             @jax.jit
-            def infer(v, x, p):
-                outputs = int8_infer(q, v, x, p)
+            def _infer_q(qq, v, x, p):
+                outputs = int8_infer(qq, v, x, p)
                 return geometry.decode_predictions_inference(
                     tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+
+            def infer(v, x, p):
+                return _infer_q(q, v, x, p)
         else:
             @jax.jit
             def infer(v, x, p):

@@ -36,6 +36,13 @@ def parse_args(argv=None):
                         help="auto-resume from the latest checkpoint")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace of early steps here")
+    parser.add_argument("--fused_nce", action="store_true",
+                        help="route the contrastive term through the Pallas "
+                             "NCE kernels (ops/nce_fused.py single-block up "
+                             "to b=1024, ops/nce_blocked.py blocked-Gram "
+                             "beyond — the >16-chip global-batch regime). "
+                             "Identical math; XLA is the measured default "
+                             "at the reference batch sizes (docs/PERF.md)")
     parser.add_argument("--device_augment", action="store_true",
                         help="run photometric augs + normalize on-device")
     opt = parser.parse_args(argv)
@@ -128,7 +135,8 @@ def main(argv=None):
                                  bin_size=opt.bin_size, mesh=mesh,
                                  print_freq=opt.print_freq,
                                  cat_eval_loader=cat_eval_loader,
-                                 device_augment=opt.device_augment)
+                                 device_augment=opt.device_augment,
+                                 use_fused_nce=opt.fused_nce)
     trainer.profile_dir = opt.profile_dir
     start_epoch = 0
     if opt.resume:

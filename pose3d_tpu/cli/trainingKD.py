@@ -159,6 +159,10 @@ def main(argv=None):
         f.write(RunConfig.from_namespace(opt).to_json())
 
     if opt.stage == 1:
+        if opt.int8_teacher:
+            raise SystemExit("--int8_teacher: not applicable to --stage 1 "
+                             "(the teacher trains jointly; nothing is frozen "
+                             "to quantize)")
         teacher = common.build_vanilla(opt)
         teacher_state = create_train_state(
             teacher, (im_ex, shape_ex), jax.random.key(common.MANUAL_SEED + 1),

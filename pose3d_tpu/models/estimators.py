@@ -37,6 +37,14 @@ from pose3d_tpu.models.resnet import resnet18, resnet50
 from pose3d_tpu.models.vgg import vgg11
 
 
+# Tail-MLP widths (reference model.py:30-42, 232-238, 292-300). The int8
+# serving replicas (serving/quant_teacher.py) import these so the serving
+# path cannot silently diverge from the flax modules.
+COMPRESS_WIDTHS = (800, 400, 200)  # compress MLP (student + vanilla teacher)
+PROJECTOR_WIDTHS = (800, 400)      # teacher projector hidden layers
+PROJECTOR_OUT = 200                # projector output (plain Dense)
+
+
 class _SixHeads(nn.Module):
     azi_classes: int = 24
     ele_classes: int = 12
@@ -82,7 +90,7 @@ class BaselineEstimator(nn.Module):
                             fold_deep_pools=self.fold_deep_pools)(im, train, mask)
 
         x = img_feature
-        for width in (800, 400, 200):
+        for width in COMPRESS_WIDTHS:
             x = DenseBNRelu(width, dtype=self.dtype,
                             axis_name=self.axis_name)(x, train, mask)
 
@@ -156,10 +164,10 @@ class PoseEstimator(nn.Module):
 
         # projector: img_feature -> 800 -> 400 (BN+ReLU each) -> 200 (plain)
         p = img_feature
-        for width in (800, 400):
+        for width in PROJECTOR_WIDTHS:
             p = DenseBNRelu(width, dtype=self.dtype,
                             axis_name=self.axis_name)(p, train, mask)
-        p = head_dense(200, self.dtype)(p)
+        p = head_dense(PROJECTOR_OUT, self.dtype)(p)
         return outputs, x, p
 
 
@@ -197,7 +205,7 @@ class PoseEstimatorVanilla(nn.Module):
             shape_feature = jnp.tile(shape_feature, (view_tile, 1))
 
         x = jnp.concatenate([shape_feature, img_feature], axis=-1)
-        for width in (800, 400, 200):
+        for width in COMPRESS_WIDTHS:
             x = DenseBNRelu(width, dtype=self.dtype,
                             axis_name=self.axis_name)(x, train, mask)
 

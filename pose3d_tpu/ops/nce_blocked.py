@@ -34,12 +34,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# shared with the single-block kernel — steps.py routes between the two by
+# batch size expecting identical math
+from pose3d_tpu.ops.nce_fused import _normalize, _resolve_interpret
+
 _NEG = -1e30  # large-negative instead of -inf: keeps exp() math NaN-free
-
-
-def _normalize(x, eps=1e-12):
-    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
-    return x / jnp.maximum(norm, eps), jnp.maximum(norm, eps)
 
 
 def _masked_z(s, t, tau, j, block, n):
@@ -136,12 +135,6 @@ def _bwd_dt_kernel(tau_ref, n_ref, g_ref, s_ref, t_ref, m_ref, de_ref,
     @pl.when(i != 0)
     def _():
         dt_ref[:] = dt_ref[:] + update
-
-
-def _resolve_interpret(interpret):
-    if interpret is None:
-        return jax.devices()[0].platform != "tpu"
-    return interpret
 
 
 def _pad(x, n_pad):

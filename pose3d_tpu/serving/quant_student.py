@@ -230,8 +230,15 @@ def save_quantized(q: dict, path: str) -> None:
 
 
 def load_quantized(path: str) -> dict:
-    """Inverse of save_quantized."""
+    """Inverse of save_quantized (STUDENT schema). Teacher artifacts load
+    through quant_teacher.load_quantized_teacher."""
     data = np.load(path if path.endswith(".npz") else path + ".npz")
+    groups = {k.split("/")[1] for k in data.keys()}
+    if not groups <= {"stem", "convs", "fcs", "compress", "heads"}:
+        raise ValueError(
+            f"{path}: not a student int8 artifact (top-level groups "
+            f"{sorted(groups)}); teacher artifacts load via "
+            "load_quantized_teacher / the --ply_path teacher mode")
     q = {"stem": {}, "convs": [], "fcs": [], "compress": [], "heads": []}
     convs, fcs, compress, heads = {}, {}, {}, {}
     for key, arr in data.items():

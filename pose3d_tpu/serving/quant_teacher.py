@@ -247,6 +247,12 @@ def load_quantized_teacher(path: str) -> dict:
     single quantized resnet ({stem, blocks[k][i]{w,s,h,a}, fc}) or the
     MultiView pair ({img, shape}); the flattener itself is generic."""
     data = np.load(path if path.endswith(".npz") else path + ".npz")
+    groups = {k.split("/")[1] for k in data.keys()}
+    if not groups <= {"stem", "blocks", "fc", "img", "shape"}:
+        raise ValueError(
+            f"{path}: not a teacher int8 artifact (top-level groups "
+            f"{sorted(groups)}); student artifacts load via "
+            "quant_student.load_quantized")
     items = [(k.split("/", 1)[1], v) for k, v in data.items()]
     if any(k.startswith(("img/", "shape/")) for k, _ in items):
         return {side: _unflatten_resnet(
@@ -387,16 +393,16 @@ def make_teacher_int8_kd_fwd(teacher):
     from pose3d_tpu.models import ShapeEncoderPC
     from pose3d_tpu.models.common import DenseBNRelu, head_dense
     from pose3d_tpu.models.deformnet import DeformNet
-    from pose3d_tpu.models.estimators import _SixHeads
+    from pose3d_tpu.models.estimators import (PROJECTOR_OUT,
+                                              PROJECTOR_WIDTHS, _SixHeads)
 
     sp = ShapeEncoderPC(teacher.shape_feature_dim, dtype=teacher.dtype)
     dn = DeformNet(bottleneck_size=teacher.shape_feature_dim
                    + teacher.img_feature_dim, dtype=teacher.dtype)
     heads = _SixHeads(teacher.azi_classes, teacher.ele_classes,
                       teacher.inp_classes, teacher.dtype)
-    proj = [DenseBNRelu(800, dtype=teacher.dtype),
-            DenseBNRelu(400, dtype=teacher.dtype)]
-    proj_out = head_dense(200, teacher.dtype)
+    proj = [DenseBNRelu(w, dtype=teacher.dtype) for w in PROJECTOR_WIDTHS]
+    proj_out = head_dense(PROJECTOR_OUT, teacher.dtype)
 
     def fwd(q, variables, im, shape, view_tile=3):
         p, b = variables["params"], variables["batch_stats"]

@@ -114,7 +114,8 @@ class TeacherTrainer(_Base):
 
     def __init__(self, model, state, train_loader, eval_loader, category_names,
                  result_path, bin_size: int = 15, mesh=None, print_freq: int = 50,
-                 cat_eval_loader=None, device_augment: bool = False):
+                 cat_eval_loader=None, device_augment: bool = False,
+                 use_fused_nce: bool = False):
         """cat_eval_loader: optional second val loader for the per-category
         Acc/Med sweep. The reference computes val_new loss on its Pascal3D
         eval set but the per-category accuracies on Pascal3DContrast val
@@ -130,7 +131,8 @@ class TeacherTrainer(_Base):
         self.print_freq = print_freq
         self.train_step = jax.jit(
             steps_lib.make_teacher_train_step(model, bin_size,
-                                              device_augment=device_augment),
+                                              device_augment=device_augment,
+                                              use_fused_nce=use_fused_nce),
             donate_argnums=(0,))
         self.eval_step = jax.jit(steps_lib.make_eval_step(model, "teacher", bin_size))
 

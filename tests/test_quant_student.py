@@ -84,6 +84,31 @@ def test_quantized_save_load_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_artifact_kind_validation(tmp_path):
+    """Loading the wrong artifact kind fails loudly at load time, not with a
+    cryptic pytree/shape error later."""
+    import pytest
+    from pose3d_tpu.serving.quant_student import save_quantized, load_quantized
+    from pose3d_tpu.serving.quant_teacher import load_quantized_teacher
+
+    rng = np.random.default_rng(7)
+    m = BaselineEstimator(img_feature_dim=256)
+    im = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), im, train=False)
+    q = quantize_student(v, [np.asarray(im)])
+    path = str(tmp_path / "student_q.npz")
+    save_quantized(q, path)
+    with pytest.raises(ValueError, match="not a teacher int8 artifact"):
+        load_quantized_teacher(path)
+    # and a teacher-schema file through the student loader
+    save_quantized({"stem": q["stem"],
+                    "blocks": [[{"w": np.zeros((1, 1, 4, 4), np.int8)}]],
+                    "fc": {"kernel": np.zeros((4, 4), np.float32)}},
+                   str(tmp_path / "teacher_q.npz"))
+    with pytest.raises(ValueError, match="not a student int8 artifact"):
+        load_quantized(str(tmp_path / "teacher_q.npz"))
+
+
 def test_int8_width_mult_student():
     """The quantizer is shape-generic: the narrow-student extension
     (width_mult) quantizes and runs through the same path."""
