@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pose3d_tpu.data.transforms import (
     IMAGENET_MEAN,
@@ -31,7 +32,12 @@ from pose3d_tpu.data.transforms import (
     IMAGENET_PCA_EIGVEC,
 )
 
-_LUMA = jnp.asarray([0.299, 0.587, 0.114])
+# numpy, NOT jnp: this module is lazily imported INSIDE jit-traced step
+# functions (train/steps.py loss_fn), and a module-level jnp constant
+# created during tracing is a tracer that leaks into module state and
+# poisons every later trace (UnexpectedTracerError — caught by the full
+# suite's e2e-before-test_ops ordering).
+_LUMA = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
 def _grayscale(x):
@@ -92,8 +98,6 @@ def device_normalize(images: jnp.ndarray) -> jnp.ndarray:
 # instead of three times, the only algorithmic answer to the single-core
 # loader wall (docs/PERF.md).
 # --------------------------------------------------------------------------
-
-import numpy as np
 
 
 def _rotation_index_grid(h: int, w: int, angle_deg: float):
