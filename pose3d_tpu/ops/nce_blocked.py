@@ -9,20 +9,29 @@ floats), and the backward recomputes z blockwise in two passes (row-major
 for ds, col-major for dt) so each output block stays resident across its
 inner accumulation loop (Pallas output-revisit rule).
 
+Masking: every call carries a per-row validity vector (all-ones when the
+caller has no `valid` mask; zeros for the internal block padding). Invalid
+COLUMNS are masked to -inf inside every z block (they never enter any real
+row's denominator — the same contract as losses.info_nce_kd(valid=...)),
+invalid ROWS are zeroed out of the backward, and the loss is the mean over
+valid rows only. This is what lets padded DP batches
+(parallel/mesh.pad_batch) route here instead of falling back to XLA.
+
 Why: the single-block kernel VMEM-OOMs at N≈2048 (N² Gram > 16 MB), and XLA
-materializes the N² Gram + its softmax in HBM for both passes — at N=8192
-that is 268 MB * several round trips on an 819 GB/s part, while this kernel
-streams O(N·D) bytes. This is exactly the ">16-chip global-batch NCE"
-regime ROADMAP left open (b = per-chip batch x DP width reaches 2048+ at
-16 chips x 128 or 64 chips x 160).
+materializes the N² Gram + its softmax in HBM for both passes — the hard
+wall is N=65536, where XLA's lowering exceeds the 16 GB HBM outright
+(measured on-chip, docs/PERF.md round 4) while this kernel streams O(N·D)
+bytes and keeps running. Below the wall the kernel is at time parity with
+XLA up to N=4096 (both dispatch-bound) and ahead 1.10-1.18x from N=8192 up
+at block=1024 (the measured-best block; 2048 exceeds scoped VMEM). This is
+exactly the ">16-chip global-batch NCE" regime ROADMAP left open (b =
+per-chip batch x DP width reaches 2048+ at 16 chips x 128 or 64 x 160).
 
 VMEM per grid step at block B: z block B² f32 + two (B, D) operand blocks —
-B=512, D=200: ~1.9 MB. N is padded up to a block multiple; padded columns
-are masked to -inf inside the kernel (they must not leak into any real
-row's denominator), padded rows are zeroed out of the backward.
+B=1024, D=200: ~5.8 MB.
 
-On-chip A/B vs the XLA lowering of the same loss: see the "blocked NCE"
-table in docs/PERF.md (round 3).
+On-chip A/B vs the XLA lowering of the same loss: the "blocked-Gram NCE"
+table in docs/PERF.md (round 4), from benchmarks/nce_blocked_ab.py.
 """
 
 from __future__ import annotations
@@ -41,21 +50,22 @@ from pose3d_tpu.ops.nce_fused import _normalize, _resolve_interpret
 _NEG = -1e30  # large-negative instead of -inf: keeps exp() math NaN-free
 
 
-def _masked_z(s, t, tau, j, block, n):
-    """Normalized block Gram with padded COLUMNS masked to _NEG."""
+def _masked_z(s, t, tau, vcol):
+    """Normalized block Gram with invalid COLUMNS masked to _NEG.
+
+    `vcol` is the (B, 1) validity slice for this column block — it is 0 on
+    both caller-masked rows and the internal pad-to-block-multiple tail, so
+    one mask covers both."""
     z = jnp.dot(s, t.T, preferred_element_type=jnp.float32) / tau
-    col = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1) + j * block
-    return jnp.where(col < n, z, _NEG)
+    return jnp.where(vcol[:, 0][None, :] > 0.0, z, _NEG)
 
 
-def _fwd_kernel(tau_ref, n_ref, s_ref, t_ref, m_ref, se_ref, pos_ref):
+def _fwd_kernel(tau_ref, s_ref, t_ref, vcol_ref, m_ref, se_ref, pos_ref):
     i, j = pl.program_id(0), pl.program_id(1)
-    block = s_ref.shape[0]
     tau = tau_ref[0, 0]
-    n = n_ref[0, 0]
     s, _ = _normalize(s_ref[:].astype(jnp.float32))
     t, _ = _normalize(t_ref[:].astype(jnp.float32))
-    z = _masked_z(s, t, tau, j, block, n)
+    z = _masked_z(s, t, tau, vcol_ref[:])
     blk_max = jnp.max(z, axis=-1, keepdims=True)  # (B, 1)
 
     @pl.when(j == 0)
@@ -79,30 +89,31 @@ def _fwd_kernel(tau_ref, n_ref, s_ref, t_ref, m_ref, se_ref, pos_ref):
                              keepdims=True)
 
 
-def _dz_block(z, m, denom, pos, g_over_n, i, j, block, n):
-    """dL/dz for one (B, B) block, padded ROWS zeroed."""
+def _dz_block(z, m, denom, pos, g_eff, vrow, i, j, block):
+    """dL/dz for one (B, B) block, invalid ROWS zeroed.
+
+    Invalid columns need no extra handling: their z is _NEG so q underflows
+    to exactly 0 (except on an all-invalid row, which the row mask covers)."""
     q = jnp.exp(z - m) / denom
-    dz = q * g_over_n
+    dz = q * g_eff
     rows_i = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
     cols_j = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
     diag = (rows_i + i * block) == (cols_j + j * block)
     q_pos = jnp.exp(pos - m) / denom  # (B, 1)
-    dz = dz + jnp.where(diag, (q_pos - 1.0) * g_over_n, 0.0)
-    row = rows_i + i * block
-    return jnp.where(row < n, dz, 0.0)
+    dz = dz + jnp.where(diag, (q_pos - 1.0) * g_eff, 0.0)
+    return jnp.where(vrow > 0.0, dz, 0.0)
 
 
-def _bwd_ds_kernel(tau_ref, n_ref, g_ref, s_ref, t_ref, m_ref, de_ref,
-                   pos_ref, ds_ref):
+def _bwd_ds_kernel(tau_ref, g_ref, s_ref, t_ref, vrow_ref, vcol_ref, m_ref,
+                   de_ref, pos_ref, ds_ref):
     i, j = pl.program_id(0), pl.program_id(1)
     block = s_ref.shape[0]
     tau = tau_ref[0, 0]
-    n = n_ref[0, 0]
     s, _ = _normalize(s_ref[:].astype(jnp.float32))
     t, _ = _normalize(t_ref[:].astype(jnp.float32))
-    z = _masked_z(s, t, tau, j, block, n)
-    dz = _dz_block(z, m_ref[:], de_ref[:], pos_ref[:],
-                   g_ref[0, 0] / n.astype(jnp.float32), i, j, block, n)
+    z = _masked_z(s, t, tau, vcol_ref[:])
+    dz = _dz_block(z, m_ref[:], de_ref[:], pos_ref[:], g_ref[0, 0],
+                   vrow_ref[:], i, j, block)
     update = jnp.dot(dz, t, preferred_element_type=jnp.float32) / tau
 
     @pl.when(j == 0)
@@ -114,18 +125,17 @@ def _bwd_ds_kernel(tau_ref, n_ref, g_ref, s_ref, t_ref, m_ref, de_ref,
         ds_ref[:] = ds_ref[:] + update
 
 
-def _bwd_dt_kernel(tau_ref, n_ref, g_ref, s_ref, t_ref, m_ref, de_ref,
-                   pos_ref, dt_ref):
+def _bwd_dt_kernel(tau_ref, g_ref, s_ref, t_ref, vrow_ref, vcol_ref, m_ref,
+                   de_ref, pos_ref, dt_ref):
     # grid = (col blocks, row blocks): j outer so dt[j] stays resident
     j, i = pl.program_id(0), pl.program_id(1)
     block = s_ref.shape[0]
     tau = tau_ref[0, 0]
-    n = n_ref[0, 0]
     s, _ = _normalize(s_ref[:].astype(jnp.float32))
     t, _ = _normalize(t_ref[:].astype(jnp.float32))
-    z = _masked_z(s, t, tau, j, block, n)
-    dz = _dz_block(z, m_ref[:], de_ref[:], pos_ref[:],
-                   g_ref[0, 0] / n.astype(jnp.float32), i, j, block, n)
+    z = _masked_z(s, t, tau, vcol_ref[:])
+    dz = _dz_block(z, m_ref[:], de_ref[:], pos_ref[:], g_ref[0, 0],
+                   vrow_ref[:], i, j, block)
     update = jnp.dot(dz.T, s, preferred_element_type=jnp.float32) / tau
 
     @pl.when(i == 0)
@@ -149,43 +159,49 @@ def _smem_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _fwd_call(s, t, tau, block, interpret):
+def _fwd_call(s, t, validf, tau, block, interpret):
     interpret = _resolve_interpret(interpret)
     n, d = s.shape
     nb = pl.cdiv(n, block)
     n_pad = nb * block
     sp, tp = _pad(s, n_pad), _pad(t, n_pad)
+    vp = _pad(validf[:, None], n_pad)  # zero-padded: pad tail is invalid
     row_spec = pl.BlockSpec((block, d), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((block, d), lambda i, j: (j, 0),
                             memory_space=pltpu.VMEM)
+    vcol_spec = pl.BlockSpec((block, 1), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((block, 1), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     m, se, pos = pl.pallas_call(
         _fwd_kernel,
         grid=(nb, nb),
         out_shape=(jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),) * 3,
-        in_specs=[_smem_spec(), _smem_spec(), row_spec, col_spec],
+        in_specs=[_smem_spec(), row_spec, col_spec, vcol_spec],
         out_specs=(out_spec, out_spec, out_spec),
         interpret=interpret,
-    )(jnp.asarray([[tau]], jnp.float32), jnp.asarray([[n]], jnp.int32),
-      sp, tp)
+    )(jnp.asarray([[tau]], jnp.float32), sp, tp, vp)
     m, se, pos = m[:n], se[:n], pos[:n]
     denom = jnp.exp(pos - m) + se
-    loss = jnp.mean(-(pos - m) + jnp.log(denom))
+    per_row = -(pos - m) + jnp.log(denom)  # (n, 1)
+    n_valid = jnp.maximum(jnp.sum(validf), 1.0)
+    loss = jnp.sum(per_row[:, 0] * validf) / n_valid
     return loss, (m, denom, pos)
 
 
-def _bwd_call(s, t, tau, block, m, denom, pos, g, interpret):
+def _bwd_call(s, t, validf, tau, block, m, denom, pos, g, interpret):
     interpret = _resolve_interpret(interpret)
     n, d = s.shape
     nb = pl.cdiv(n, block)
     n_pad = nb * block
     sp, tp = _pad(s, n_pad), _pad(t, n_pad)
     pad1 = lambda x: _pad(x, n_pad)
+    vp = pad1(validf[:, None])
     mp, dp, pp = pad1(m), pad1(denom), pad1(pos)
-    scal = [jnp.asarray([[tau]], jnp.float32), jnp.asarray([[n]], jnp.int32),
-            jnp.asarray([[g]], jnp.float32)]
+    n_valid = jnp.maximum(jnp.sum(validf), 1.0)
+    g_eff = (g / n_valid).astype(jnp.float32)  # d(mean over valid rows)
+    scal = [jnp.asarray([[tau]], jnp.float32), g_eff[None, None]]
     by_i = lambda i, j: (i, 0)
     by_j = lambda i, j: (j, 0)
 
@@ -197,24 +213,26 @@ def _bwd_call(s, t, tau, block, m, denom, pos, g, interpret):
         _bwd_ds_kernel,
         grid=(nb, nb),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
-        in_specs=[_smem_spec()] * 3
+        in_specs=[_smem_spec()] * 2
         + [vspec(by_i, d), vspec(by_j, d),
+           vspec(by_i, 1), vspec(by_j, 1),
            vspec(by_i, 1), vspec(by_i, 1), vspec(by_i, 1)],
         out_specs=vspec(by_i, d),
         interpret=interpret,
-    )(*scal, sp, tp, mp, dp, pp)
+    )(*scal, sp, tp, vp, vp, mp, dp, pp)
 
     # col-major pass: program_id(0)=j (t rows), program_id(1)=i (s rows)
     dt_n = pl.pallas_call(
         _bwd_dt_kernel,
         grid=(nb, nb),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
-        in_specs=[_smem_spec()] * 3
+        in_specs=[_smem_spec()] * 2
         + [vspec(by_j, d), vspec(by_i, d),
+           vspec(by_j, 1), vspec(by_i, 1),
            vspec(by_j, 1), vspec(by_j, 1), vspec(by_j, 1)],
         out_specs=vspec(by_i, d),
         interpret=interpret,
-    )(*scal, sp, tp, mp, dp, pp)
+    )(*scal, sp, tp, vp, vp, mp, dp, pp)
 
     ds_n, dt_n = ds_n[:n], dt_n[:n]
     # back through the row L2 normalization (outside the kernel: O(N D))
@@ -225,24 +243,38 @@ def _bwd_call(s, t, tau, block, m, denom, pos, g, interpret):
     return ds.astype(s.dtype), dt.astype(t.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def blocked_info_nce(s, t, tau: float = 0.1, block: int = 512,
-                     interpret: bool | None = None):
-    """Blocked-Gram infoNCE-KD loss (no dropout; see module docstring).
-    N need not divide `block` (internal padding + masking). interpret=None
-    auto-selects interpreter mode off-TPU."""
-    loss, _ = _fwd_call(s, t, tau, block, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _blocked_info_nce_v(s, t, validf, tau, block, interpret):
+    loss, _ = _fwd_call(s, t, validf, tau, block, interpret)
     return loss
 
 
-def _vjp_fwd(s, t, tau, block, interpret):
-    loss, (m, denom, pos) = _fwd_call(s, t, tau, block, interpret)
-    return loss, (s, t, m, denom, pos)
+def _vjp_fwd(s, t, validf, tau, block, interpret):
+    loss, (m, denom, pos) = _fwd_call(s, t, validf, tau, block, interpret)
+    return loss, (s, t, validf, m, denom, pos)
 
 
 def _vjp_bwd(tau, block, interpret, residuals, g):
-    s, t, m, denom, pos = residuals
-    return _bwd_call(s, t, tau, block, m, denom, pos, g, interpret)
+    s, t, validf, m, denom, pos = residuals
+    ds, dt = _bwd_call(s, t, validf, tau, block, m, denom, pos, g, interpret)
+    return ds, dt, jnp.zeros_like(validf)
 
 
-blocked_info_nce.defvjp(_vjp_fwd, _vjp_bwd)
+_blocked_info_nce_v.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def blocked_info_nce(s, t, tau: float = 0.1, block: int = 1024,
+                     interpret: bool | None = None,
+                     valid: jnp.ndarray | None = None):
+    """Blocked-Gram infoNCE-KD loss (no dropout; see module docstring).
+
+    N need not divide `block` (internal padding + masking). `valid` ((N,)
+    bool/float, optional) excludes rows from both the negative pool and the
+    mean with the exact semantics of losses.info_nce_kd(valid=...) — padded
+    DP batches route here with their mask instead of falling back to XLA.
+    interpret=None auto-selects interpreter mode off-TPU. block=1024 is the
+    measured-best tile on v5e (docs/PERF.md round 4; 2048 exceeds scoped
+    VMEM)."""
+    validf = (jnp.ones((s.shape[0],), jnp.float32) if valid is None
+              else valid.astype(jnp.float32))
+    return _blocked_info_nce_v(s, t, validf, tau, block, interpret)

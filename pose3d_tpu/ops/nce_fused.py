@@ -28,12 +28,13 @@ FLOPs-for-HBM trade that wins for N x N matrices).
 ROUND-2 DISPOSITION (VERDICT r1 item #9): XLA stays the production default.
 On-chip timing showed XLA ahead at every batch the workloads reach
 (b=138-1024, docs/PERF.md), and the single-block kernel VMEM-OOMs at b~2048.
-The widest NCE batch any supported configuration produces today is the
-teacher recipe's bs=160 x 8-chip DP = 1280 global rows (the KD student path
-has no NCE at all), which both fits the kernel and is still XLA-favored —
-so a blocked-Gram rewrite would optimize a regime nothing exercises. The
-kernel remains available behind `use_fused_nce` with its A/B tests; revisit
-if a >16-chip global-batch NCE regime appears.
+
+ROUND-3/4 UPDATE: the blocked-Gram rewrite this docstring deferred now
+exists (ops/nce_blocked.py — online-LSE fwd, two-pass analytic bwd, valid
+masking) and handles the >1024-row regime this kernel cannot; under
+`use_fused_nce` the shared selector (train/steps.route_info_nce) dispatches
+single-block here for narrow unmasked batches and blocked above — on-chip
+A/B numbers in docs/PERF.md round 4.
 """
 
 from __future__ import annotations

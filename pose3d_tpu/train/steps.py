@@ -69,6 +69,46 @@ def _valid_of(batch: Batch):
     return None if v is None else v.astype(bool)
 
 
+# widest batch whose b^2 Gram still fits the single-block kernel's VMEM;
+# above it the blocked online-LSE kernel streams O(N*D) instead
+_SINGLE_BLOCK_NCE_MAX = 1024
+_BLOCKED_NCE_BLOCK = 1024  # measured-best v5e tile (docs/PERF.md round 4)
+
+
+def route_info_nce(feat_q, feat_k, tau, dropout_rng, dropout_rate, valid,
+                   use_fused: bool):
+    """The ONE in-batch infoNCE-KD selector, shared by every call site
+    (teacher step and stage-1 symmetric NCE — reference
+    model_utils.py:263-285, base_class.py:451-569).
+
+    use_fused=False -> the XLA lowering (losses.info_nce_kd). use_fused=True
+    -> dropout applied here (bit-identical bernoulli draw to the XLA path's
+    internal one), then by width: <= _SINGLE_BLOCK_NCE_MAX unmasked batches
+    take the single-block Pallas kernel; wider batches — masked or not —
+    stream through the blocked online-LSE kernel (ops/nce_blocked.py), which
+    carries the `valid` mask natively so padded DP batches no longer fall
+    back to XLA. Narrow masked batches stay on XLA (the single-block kernel
+    has no masking, and at those widths both are dispatch-bound anyway)."""
+    if not use_fused:
+        return info_nce_kd(feat_q, feat_k, tau, dropout_rng=dropout_rng,
+                           dropout_rate=dropout_rate, valid=valid)
+    if dropout_rng is not None and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    feat_k.shape)
+        feat_k = jnp.where(keep, feat_k / (1.0 - dropout_rate), 0.0)
+    if feat_q.shape[0] > _SINGLE_BLOCK_NCE_MAX:
+        from pose3d_tpu.ops.nce_blocked import blocked_info_nce
+
+        return blocked_info_nce(feat_q, feat_k, tau, _BLOCKED_NCE_BLOCK,
+                                None, valid=valid)
+    if valid is not None:
+        return info_nce_kd(feat_q, feat_k, tau, dropout_rng=None,
+                           dropout_rate=0.0, valid=valid)
+    from pose3d_tpu.ops.nce_fused import fused_info_nce
+
+    return fused_info_nce(feat_q, feat_k, tau, None)
+
+
 # --------------------------------------------------------------------------
 # Teacher training (contrastive multimodal teacher) — training.py:26-88
 # --------------------------------------------------------------------------
@@ -81,31 +121,15 @@ def make_teacher_train_step(
     use_fused_nce: bool = False,
     device_augment: bool = False,
 ) -> Callable:
-    """use_fused_nce routes the contrastive term through the Pallas kernel
-    (ops/nce_fused.py) — identical math; dropout applied outside the kernel.
+    """use_fused_nce routes the contrastive term through the Pallas kernels
+    via route_info_nce (identical math; dropout applied outside the kernel).
     device_augment expects RAW [0,1] pixels from the loader (datasets built
     with host_augment=False) and applies the photometric augs + normalize
     on-device (ops/augment.py) — the host-bottleneck fix."""
 
     def _nce(img_proj, fused, nce_rng, valid):
-        if not use_fused_nce or valid is not None:
-            # the fused kernels have no padded-row masking; valid batches
-            # route through the (mathematically identical) XLA path
-            return info_nce_kd(img_proj, fused, nce_tau, dropout_rng=nce_rng,
-                               dropout_rate=nce_dropout, valid=valid)
-        if nce_dropout > 0.0:
-            keep = jax.random.bernoulli(nce_rng, 1.0 - nce_dropout, fused.shape)
-            fused = jnp.where(keep, fused / (1.0 - nce_dropout), 0.0)
-        if img_proj.shape[0] > 1024:
-            # wide-global-batch regime: the single-block kernel's b^2 Gram
-            # no longer fits VMEM; stream it with the blocked online-LSE
-            # kernel instead (ops/nce_blocked.py)
-            from pose3d_tpu.ops.nce_blocked import blocked_info_nce
-
-            return blocked_info_nce(img_proj, fused, nce_tau, 512, None)
-        from pose3d_tpu.ops.nce_fused import fused_info_nce
-
-        return fused_info_nce(img_proj, fused, nce_tau, None)
+        return route_info_nce(img_proj, fused, nce_tau, nce_rng, nce_dropout,
+                              valid, use_fused_nce)
 
     def loss_fn(params, batch_stats, batch: Batch, rng):
         drop_rng, nce_rng, aug_rng = jax.random.split(rng, 3)
@@ -276,6 +300,7 @@ def make_stage1_step(
     tau: float = 0.5,
     nce_weight: float = 0.75,
     use_memory_bank: bool = False,
+    use_fused_nce: bool = False,
 ) -> Callable:
     """Both models train. step(teacher_state, student_state, batch[, bank]) ->
     (teacher_state, student_state, metrics[, bank]). Teacher must have vanilla
@@ -284,7 +309,13 @@ def make_stage1_step(
     use_memory_bank=True is the OPTIONAL extension beyond the reference
     (SURVEY.md §5 note): the symmetric NCE's negative pool is enlarged by a
     MoCo-style FIFO queue of past features (losses/memory_bank.py); the step
-    then takes/returns a MemoryBank and enqueues the teacher features."""
+    then takes/returns a MemoryBank and enqueues the teacher features.
+
+    use_fused_nce routes both directions of the symmetric NCE through the
+    same route_info_nce selector as the teacher step — at wide DP (bs160 x
+    16+ chips) the stage-1 Gram hits the same N^2 wall the blocked kernel
+    solves (base_class.py:451-569). Ignored by the memory-bank branch (the
+    bank loss has a different key pool)."""
 
     def loss_fn(t_params, s_params, t_bs, s_bs, batch: Batch, rng, bank):
         s_rng, nce_rng1, nce_rng2 = jax.random.split(rng, 3)
@@ -314,10 +345,10 @@ def make_stage1_step(
             nce_t2s = info_nce_memory(t_feat, s_feat, bank, tau, valid=valid,
                                       dropout_rng=nce_rng2)
         else:
-            nce_s2t = info_nce_kd(s_feat, t_feat, tau, dropout_rng=nce_rng1,
-                                  valid=valid)
-            nce_t2s = info_nce_kd(t_feat, s_feat, tau, dropout_rng=nce_rng2,
-                                  valid=valid)
+            nce_s2t = route_info_nce(s_feat, t_feat, tau, nce_rng1, 0.3,
+                                     valid, use_fused_nce)
+            nce_t2s = route_info_nce(t_feat, s_feat, tau, nce_rng2, 0.3,
+                                     valid, use_fused_nce)
         loss = teacher_loss + nce_weight * (0.5 * nce_s2t + 0.5 * nce_t2s)
         return loss, (t_out, t_mut["batch_stats"], s_mut["batch_stats"],
                       teacher_loss, t_feat)
