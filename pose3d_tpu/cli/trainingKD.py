@@ -53,6 +53,11 @@ def parse_args(argv=None):
     parser.add_argument("--student_width_mult", type=float, default=1.0,
                         help="EXTENSION: VGG conv width multiplier for a faster "
                              "student (0.5 -> 2.6x inference throughput)")
+    parser.add_argument("--fused_nce", action="store_true",
+                        help="stage 1: route the symmetric NCE through the "
+                        "Pallas kernel selector (single-block narrow / "
+                        "blocked-Gram wide — the >16-chip DP regime); "
+                        "identical math, tested bit-close")
     parser.add_argument("--use_memory_bank", action="store_true",
                         help="EXTENSION (stage 1 only): enlarge the symmetric "
                              "NCE negative pool with a MoCo-style FIFO queue "
@@ -71,7 +76,8 @@ def parse_args(argv=None):
                              "host bottleneck, docs/PERF.md)")
     parser.add_argument("--int8_teacher", action="store_true",
                         help="--crd / --stage 2: run the frozen teacher's "
-                             "resnet trunk (crd: resnet50; stage 2: the "
+                             "conv trunks (crd: resnet50, + the per-view "
+                             "resnet18 for MultiView; stage 2: the "
                              "vanilla resnet18) through the int8 PTQ serving "
                              "path inside the KD step "
                              "(serving/quant_teacher.py); calibrated on the "
@@ -173,7 +179,8 @@ def main(argv=None):
         trainer = KDTrainer(student, teacher, student_state, None, train_loader,
                             eval_loader, dataset_eval.category_names, result_path,
                             bin_size=opt.bin_size, temperature=opt.temperature,
-                            tau=opt.tau, mesh=mesh, teacher_state=teacher_state)
+                            tau=opt.tau, mesh=mesh, teacher_state=teacher_state,
+                            use_fused_nce=opt.fused_nce)
         trainer.profile_dir = opt.profile_dir
         n = opt.n_epoch or EPOCHS["stage1"]
         start_epoch = 0
@@ -202,9 +209,12 @@ def main(argv=None):
             student_state = student_state.replace(params=sv["params"],
                                                   batch_stats=sv["batch_stats"])
         if opt.int8_teacher:
-            if opt.shape != "PointCloud":
-                raise SystemExit("--int8_teacher: PointCloud teachers only")
-            from pose3d_tpu.serving import (quantize_teacher_resnet,
+            if opt.stage == 2 and opt.shape != "PointCloud":
+                raise SystemExit("--int8_teacher --stage 2: PointCloud "
+                                 "teachers only (the vanilla int8 fwd has "
+                                 "no MV variant)")
+            from pose3d_tpu.serving import (quantize_teacher_mv,
+                                            quantize_teacher_resnet,
                                             quantize_teacher_vanilla)
 
             # calibrate activation scales on the first eval batch (always
@@ -214,6 +224,12 @@ def main(argv=None):
             if opt.stage == 2:
                 q8 = quantize_teacher_vanilla(teacher_vars, calib)
                 print("int8 teacher: vanilla resnet18 quantized")
+            elif opt.shape == "MultiView":
+                q8 = quantize_teacher_mv(
+                    teacher_vars, calib,
+                    [np.asarray(calib_batch["shape"][:8])])
+                print("int8 teacher: MV resnet50 + per-view resnet18 "
+                      "quantized")
             else:
                 q8 = quantize_teacher_resnet(teacher_vars, calib)
                 print("int8 teacher: resnet50 quantized (52 convs)")

@@ -380,25 +380,52 @@ def make_vanilla_int8_kd_fwd(teacher):
 
 
 def make_teacher_int8_kd_fwd(teacher):
-    """Frozen-teacher forward for the KD --crd step with the resnet50 image
-    encoder int8: fn(q, variables, im, shape, view_tile) -> (outputs,
+    """Frozen-teacher forward for the KD --crd step with the conv trunks
+    int8: fn(q, variables, im, shape, view_tile) -> (outputs,
     projector_200d), i.e. elements 0 and 2 of PoseEstimator.apply(...,
     train=False, view_tile=v) (models/estimators.py) — exactly what
     make_kd_crd_step consumes (t_out, t_feat). `im` carries view_tile stacked
     augmentation views; `shape` only the unique leading entries (the shape
     encoder runs once, features tiled — same exact-with-eval-BN trick as the
-    flax path)."""
-    if teacher.shape != "PointCloud":
-        raise NotImplementedError("int8 KD teacher: PointCloud only")
+    flax path).
+
+    PointCloud: q = quantize_teacher_resnet(...) (resnet50 int8, PointNet
+    bf16 through flax). MultiView (reference model.py:103-150): q =
+    quantize_teacher_mv(...) — BOTH trunks int8, `shape` carries the (Nu, K,
+    H, W, 3) renders and the per-view resnet18 is the FLOPs bulk at
+    view_num=12."""
     from pose3d_tpu.models import ShapeEncoderPC
     from pose3d_tpu.models.common import DenseBNRelu, head_dense
     from pose3d_tpu.models.deformnet import DeformNet
     from pose3d_tpu.models.estimators import (PROJECTOR_OUT,
                                               PROJECTOR_WIDTHS, _SixHeads)
 
-    sp = ShapeEncoderPC(teacher.shape_feature_dim, dtype=teacher.dtype)
-    dn = DeformNet(bottleneck_size=teacher.shape_feature_dim
-                   + teacher.img_feature_dim, dtype=teacher.dtype)
+    if teacher.shape == "PointCloud":
+        fused_dim = teacher.shape_feature_dim
+        sp = ShapeEncoderPC(teacher.shape_feature_dim, dtype=teacher.dtype)
+
+        def shape_feat(q, p, b, shape):
+            return sp.apply({"params": p["ShapeEncoderPC_0"],
+                             "batch_stats": b["ShapeEncoderPC_0"]},
+                            shape, train=False)
+
+        def img_q(q):
+            return q
+    else:
+        fused_dim = teacher.shape_feature_dim * teacher.view_num
+
+        def shape_feat(q, p, b, shape):
+            n, k = shape.shape[0], shape.shape[1]
+            flat = shape.reshape((n * k,) + shape.shape[2:])
+            feat = resnet_int8_forward(q["shape"], flat, arch="resnet18",
+                                       dtype=teacher.dtype)
+            return feat.reshape(n, -1)
+
+        def img_q(q):
+            return q["img"]
+
+    dn = DeformNet(bottleneck_size=fused_dim + teacher.img_feature_dim,
+                   dtype=teacher.dtype)
     heads = _SixHeads(teacher.azi_classes, teacher.ele_classes,
                       teacher.inp_classes, teacher.dtype)
     proj = [DenseBNRelu(w, dtype=teacher.dtype) for w in PROJECTOR_WIDTHS]
@@ -406,10 +433,8 @@ def make_teacher_int8_kd_fwd(teacher):
 
     def fwd(q, variables, im, shape, view_tile=3):
         p, b = variables["params"], variables["batch_stats"]
-        img_feature = resnet50_int8_forward(q, im, dtype=teacher.dtype)
-        shape_feature = sp.apply(
-            {"params": p["ShapeEncoderPC_0"],
-             "batch_stats": b["ShapeEncoderPC_0"]}, shape, train=False)
+        img_feature = resnet50_int8_forward(img_q(q), im, dtype=teacher.dtype)
+        shape_feature = shape_feat(q, p, b, shape)
         if view_tile > 1:
             shape_feature = jnp.tile(shape_feature, (view_tile, 1))
         fused = jnp.concatenate([shape_feature, img_feature], axis=-1)

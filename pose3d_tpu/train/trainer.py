@@ -290,7 +290,8 @@ class KDTrainer(_Base):
                  train_loader, eval_loader, category_names, result_path,
                  bin_size: int = 15, temperature: float = 1.0, tau: float = 0.5,
                  mesh=None, teacher_state=None, device_augment: bool = False,
-                 device_views: bool = False, int8_teacher: bool = False):
+                 device_views: bool = False, int8_teacher: bool = False,
+                 use_fused_nce: bool = False):
         super().__init__(result_path, mesh)
         self.student_model = student_model
         self.teacher_model = teacher_model
@@ -308,6 +309,9 @@ class KDTrainer(_Base):
         # int8 frozen teacher (--crd only): teacher_vars is then
         # {"variables": tv, "q8": quantized resnet} — steps.make_kd_crd_step
         self.int8_teacher = int8_teacher
+        # stage-1 only today: routes the symmetric NCE through the Pallas
+        # selector (steps.route_info_nce) — the wide-DP Gram regime
+        self.use_fused_nce = use_fused_nce
         self.student_eval_step = jax.jit(
             steps_lib.make_eval_step(student_model, "student", bin_size))
 
@@ -349,6 +353,10 @@ class KDTrainer(_Base):
                 n = int(valid.sum())
                 loss_m.update(float(metrics["loss"]), n)
                 acc_m.update(float(metrics["acc_rot"]), n)
+            # train-only wall time (the float() above synced the last step);
+            # sustained samples/s = train_samples / train_seconds, the number
+            # to hold against the device-step ceiling (docs/PERF.md)
+            train_seconds = time.time() - t0
 
             variables = {"params": self.student_state.params,
                          "batch_stats": self.student_state.batch_stats}
@@ -368,7 +376,11 @@ class KDTrainer(_Base):
             self.metrics.write({"kind": f"{tag}_epoch", "epoch": epoch,
                                 "train_loss": loss_m.avg, "train_acc": acc_m.avg,
                                 "val_acc": result.mean_acc, "val_med": result.mean_med,
-                                "epoch_seconds": time.time() - t0})
+                                "epoch_seconds": time.time() - t0,
+                                "train_seconds": round(train_seconds, 3),
+                                "train_samples": loss_m.count,
+                                "train_samples_per_s": round(
+                                    loss_m.count / max(train_seconds, 1e-9), 2)})
         return best_acc
 
     # ---------------- stage 1 (joint teacher + learner) ----------------
@@ -380,7 +392,8 @@ class KDTrainer(_Base):
         assert self.teacher_state is not None, "stage 1 trains the teacher too"
         step = jax.jit(steps_lib.make_stage1_step(
             self.teacher_model, self.student_model, self.bin_size, self.tau,
-            use_memory_bank=use_memory_bank),
+            use_memory_bank=use_memory_bank,
+            use_fused_nce=self.use_fused_nce),
             donate_argnums=(0, 1))
         bank = None
         if use_memory_bank:
