@@ -1,12 +1,22 @@
-"""Benchmark harness: student RGB inference throughput on the local chip.
+"""Benchmark harness for the driver: headline numbers on the local chip.
 
-Prints ONE JSON line:
+Default (`--metric all`) runs BOTH headline workloads and prints one JSON
+line per metric; the LAST line keeps the driver contract
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+and carries the other headline inline:
   {"metric": "student_infer_img_per_s", "value": N, "unit": "img/s",
-   "vs_baseline": N / 5000.0}
+   "vs_baseline": N/5000, "kd_train_samples_per_s": M,
+   "kd_vs_baseline": M/132}
 
-The baseline divisor is the BASELINE.md north-star target of 5,000 images/s
-per chip for the RGB-only student (the reference repo publishes no numbers —
-BASELINE.md 'Published numbers': none).
+vs_baseline divisors (BASELINE.md): 5,000 img/s north-star for the RGB-only
+student serving path (the reference publishes no numbers); 132 samples/s
+derived-A100 for the KD --crd train step (config 4).
+
+Outage resilience: the axon tunnel's documented failure mode (CLAUDE.md —
+"UNAVAILABLE: TPU backend setup/compile error" or device-init hangs for
+30+ min) is absorbed by a bounded retry/backoff probe before any jax device
+work; rc=0 with captured numbers whenever the tunnel returns within the
+budget (~30 min, POSE3D_BENCH_MAX_WAIT_S to override).
 
 Run on TPU via the default axon platform. Accepts --batch/--steps overrides.
 """
@@ -29,6 +39,43 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:
     pass
+
+
+def _wait_for_backend() -> None:
+    """Bounded retry/backoff around backend init (VERDICT r3 weak #3).
+
+    Probes device init in a SUBPROCESS so both outage modes are survivable:
+    the UNAVAILABLE error (a subprocess failure we can retry) and the
+    init-hang (a subprocess timeout we can kill — in-process there is no way
+    to abort a hung PJRT client init). Backoff 60s -> 480s, total budget
+    ~30 min (the documented outage scale); on exhaustion exits rc=1 with the
+    last backend error on stderr so the driver artifact says WHY."""
+    import subprocess
+    import sys
+
+    max_wait = float(os.environ.get("POSE3D_BENCH_MAX_WAIT_S", "1800"))
+    deadline, delay, attempt = time.time() + max_wait, 60.0, 0
+    while True:
+        attempt += 1
+        err = ""
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert len(jax.devices()) > 0"],
+                timeout=420, capture_output=True)
+            if r.returncode == 0:
+                return
+            err = r.stderr.decode(errors="replace")[-1500:]
+        except subprocess.TimeoutExpired:
+            err = "device init exceeded 420s (tunnel hang mode)"
+        if time.time() + delay > deadline:
+            print(f"[bench] backend unavailable after {attempt} attempts; "
+                  f"last error:\n{err}", file=sys.stderr)
+            raise SystemExit(1)
+        print(f"[bench] backend unavailable (attempt {attempt}); retrying "
+              f"in {delay:.0f}s", file=sys.stderr)
+        time.sleep(delay)
+        delay = min(delay * 2, 480.0)
 
 
 # Derived A100 baseline for the reference KD --crd step (BASELINE.md
@@ -78,7 +125,7 @@ def _contention_proxy(reps: int = 3, m: int = 8192) -> float:
     return best / sol
 
 
-def _bench_kd_step(args) -> None:
+def _bench_kd_step(args) -> dict:
     """KD --crd train step (BASELINE config 4: bs 46, 3 contrast views,
     frozen PointCloud teacher). vs_baseline divides by the DERIVED A100
     reference throughput above; FLOPs come from XLA's own cost analysis, so
@@ -155,37 +202,10 @@ def _bench_kd_step(args) -> None:
             "spread_pct": round(100 * (max(runs) - min(runs)) / samples_per_s, 2),
             "contention_proxy": round(_contention_proxy(), 3),
         }
-    print(json.dumps(out))
+    return out
 
 
-def main(argv=None):
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--batch", type=int, default=256)
-    parser.add_argument("--steps", type=int, default=30)
-    parser.add_argument("--warmup", type=int, default=5)
-    parser.add_argument("--repeats", type=int, default=1,
-                        help="timing windows for the median-of-N protocol "
-                             "(kd_step only; 1 = single window, driver default)")
-    parser.add_argument("--img", type=int, default=224)
-    parser.add_argument("--metric", type=str, default="student_infer",
-                        choices=["student_infer", "student_infer_int8",
-                                 "kd_step"])
-    parser.add_argument("--width_mult", type=float, default=1.0,
-                        help="student width multiplier (serving metrics; "
-                             "the narrow-student KD extension)")
-    parser.add_argument("--int8_teacher", action="store_true",
-                        help="kd_step A/B: frozen teacher's resnet50 through "
-                             "the int8 serving path (--int8_teacher regime "
-                             "of trainingKD; serving/quant_teacher.py)")
-    parser.add_argument("--fold_deep_pools", type=int, default=0,
-                        help="kd_step A/B: fold deep conv+pool pairs with "
-                             "conv index <= N (models/vgg.py; 0 = off)")
-    args = parser.parse_args(argv)
-
-    if args.metric == "kd_step":
-        _bench_kd_step(args)
-        return
-
+def _bench_student_infer(args) -> dict:
     from pose3d_tpu.models import BaselineEstimator
     from pose3d_tpu import geometry
 
@@ -235,12 +255,62 @@ def main(argv=None):
     name = ("student_infer_int8_img_per_s"
             if args.metric == "student_infer_int8" else
             "student_infer_img_per_s")
-    print(json.dumps({
+    return {
         "metric": name,
         "value": round(img_per_s, 1),
         "unit": "img/s",
         "vs_baseline": round(img_per_s / 5000.0, 3),
-    }))
+    }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--warmup", type=int, default=5)
+    parser.add_argument("--repeats", type=int, default=1,
+                        help="timing windows for the median-of-N protocol "
+                             "(kd_step only; 1 = single window, driver default)")
+    parser.add_argument("--img", type=int, default=224)
+    parser.add_argument("--metric", type=str, default="all",
+                        choices=["all", "student_infer", "student_infer_int8",
+                                 "kd_step"],
+                        help="all (driver default): kd_step + student_infer,"
+                             " one JSON line each, last line = serving line"
+                             " carrying the KD headline inline")
+    parser.add_argument("--width_mult", type=float, default=1.0,
+                        help="student width multiplier (serving metrics; "
+                             "the narrow-student KD extension)")
+    parser.add_argument("--int8_teacher", action="store_true",
+                        help="kd_step A/B: frozen teacher's resnet50 through "
+                             "the int8 serving path (--int8_teacher regime "
+                             "of trainingKD; serving/quant_teacher.py)")
+    parser.add_argument("--fold_deep_pools", type=int, default=0,
+                        help="kd_step A/B: fold deep conv+pool pairs with "
+                             "conv index <= N (models/vgg.py; 0 = off)")
+    args = parser.parse_args(argv)
+
+    _wait_for_backend()
+
+    if args.metric == "kd_step":
+        print(json.dumps(_bench_kd_step(args)))
+        return
+    if args.metric in ("student_infer", "student_infer_int8"):
+        print(json.dumps(_bench_student_infer(args)))
+        return
+
+    # --metric all (driver default): KD headline first (its line is visible
+    # in the artifact on its own), then serving; the LAST line keeps the
+    # {metric, value, unit, vs_baseline} contract and carries the KD number
+    # inline so one parsed line holds both headlines (VERDICT r3 weak #3).
+    args.repeats = max(args.repeats, 3)  # median-of-N for the headline
+    kd = _bench_kd_step(args)
+    print(json.dumps(kd), flush=True)
+    args.metric = "student_infer"
+    serving = _bench_student_infer(args)
+    serving["kd_train_samples_per_s"] = kd["value"]
+    serving["kd_vs_baseline"] = kd["vs_baseline"]
+    print(json.dumps(serving))
 
 
 if __name__ == "__main__":
