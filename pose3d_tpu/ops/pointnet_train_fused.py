@@ -45,9 +45,12 @@ kernels serialize against the surrounding XLA graph, eating the ~10 ms of
 roofline savings (per-op profile: the 7 kernels total ~10.5 ms vs ~9 ms for
 the XLA-fused PointNet section in context). Block size is not the issue
 (400-step 8x128 grid and 80-step 8x640 grid time identical). Kept flag-gated
-(default OFF) as a tested experiment record, like ops/pooling.py. The
-teacher-step lever that does pay is rematerialization of the ResNet blocks
-(see models/resnet.py remat notes / docs/PERF.md round 3).
+(default OFF) as a tested experiment record, like ops/pooling.py. No
+teacher-step lever paid: rematerialization of the ResNet blocks also
+measured NEGATIVE (0.84x "full" / 0.59x "elementwise" — docs/PERF.md round
+3), and the round-3 roofline closure shows the step already runs at ~99% of
+v5e HBM bandwidth: 26% MFU IS the bandwidth ceiling for train-mode conv/BN
+at bs160.
 
 Mosaic/TPU lessons encoded here (cost us three compile iterations):
 no (BN,BP)->(BN*BP,1) bool shape-casts (build masks flat via 1-D iota +
