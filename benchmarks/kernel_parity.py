@@ -1,0 +1,174 @@
+"""On-chip Pallas kernel parity sweep: every kernel, compiled (non-interpret),
+vs its XLA reference — one JSON line per check, rc=1 if any fails.
+
+Why this exists (VERDICT r3): the blocked-Gram NCE kernel shipped
+production-wired with interpret-mode CPU parity only — Pallas TPU lowering
+can fail or mis-tile in ways interpret mode never shows. This sweep is the
+guard: it runs every kernel's REAL Mosaic lowering on the chip at small
+shapes (seconds of compile each) and asserts value (and, where the kernel
+has a custom VJP, gradient) parity against the XLA path. It is part of the
+verify recipe (.claude/skills/verify/SKILL.md); run it whenever a kernel
+changes, BEFORE relying on any interpret-mode test.
+
+Covers: fused_info_nce, blocked_info_nce (unmasked + valid-masked),
+rotation_err_pallas, fused_pointnet_eval, ShapeEncoderPC fused train path
+(fwd + param grads), fused_vgg_stem + _cf.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/kernel_parity.py
+"""
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+try:  # persistent compile cache (CLAUDE.md: first compiles are slow)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pose3d_jax_cache")
+except Exception:
+    pass
+import jax
+import jax.flatten_util  # noqa: F401  (ravel_pytree)
+import jax.numpy as jnp
+
+
+def _rel(a, b):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    return float(np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-30))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--interpret", action="store_true",
+                        help="interpret-mode run (CPU smoke only — does NOT "
+                             "validate the Mosaic lowering)")
+    args = parser.parse_args(argv)
+    interp = args.interpret
+
+    rng = np.random.default_rng(0)
+    platform = jax.devices()[0].platform
+    rows, fails = [], 0
+
+    def check(kernel, rel, tol, **extra):
+        nonlocal fails
+        ok = bool(rel <= tol)
+        fails += not ok
+        row = {"kernel": kernel, "rel_err": round(rel, 9), "tol": tol,
+               "pass": ok, **extra}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    # 1-2. single-block + blocked NCE, value_and_grad
+    from pose3d_tpu.losses import info_nce_kd
+    from pose3d_tpu.ops.nce_blocked import blocked_info_nce
+    from pose3d_tpu.ops.nce_fused import fused_info_nce
+
+    s = jnp.asarray(rng.standard_normal((384, 200)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((384, 200)).astype(np.float32))
+    for name, valid in (("nce_blocked", None),
+                        ("nce_blocked_masked",
+                         jnp.asarray(np.arange(384) < 300))):
+        (lx, gx) = jax.jit(jax.value_and_grad(
+            lambda a, b, v=valid: info_nce_kd(a, b, 0.5, dropout_rng=None,
+                                              valid=v), argnums=(0, 1)))(s, t)
+        (lb, gb) = jax.jit(jax.value_and_grad(
+            lambda a, b, v=valid: blocked_info_nce(a, b, 0.5, 128, interp,
+                                                   valid=v),
+            argnums=(0, 1)))(s, t)
+        check(name, abs(float(lx) - float(lb)) / abs(float(lx)), 1e-4,
+              grad_rel_err=round(_rel(gb[0], gx[0]), 9))
+        if valid is not None and not np.all(np.asarray(gb[0])[300:] == 0.0):
+            check(name + "_zero_grad_on_invalid", 1.0, 0.0)
+
+    (lx, gx) = jax.jit(jax.value_and_grad(
+        lambda a, b: info_nce_kd(a[:256], b[:256], 0.5, dropout_rng=None),
+        argnums=(0, 1)))(s, t)
+    (lf, gf) = jax.jit(jax.value_and_grad(
+        lambda a, b: fused_info_nce(a[:256], b[:256], 0.5, interp),
+        argnums=(0, 1)))(s, t)
+    check("nce_fused_single_block", abs(float(lx) - float(lf)) / abs(float(lx)),
+          1e-4, grad_rel_err=round(_rel(gf[0], gx[0]), 9))
+
+    # 3. geodesic rotation error
+    from pose3d_tpu import geometry
+    from pose3d_tpu.ops.geodesic import rotation_err_pallas
+
+    preds = jnp.asarray(rng.integers(0, 360, (300, 3)).astype(np.float32))
+    gts = jnp.asarray(rng.integers(0, 360, (300, 3)).astype(np.float32))
+    ref = jax.jit(geometry.rotation_err)(preds, gts)
+    out = jax.jit(lambda p, g: rotation_err_pallas(p, g, interp))(preds, gts)
+    # degrees: tolerate the acos-near-1 noise the CPU test also allows
+    check("geodesic", float(np.max(np.abs(np.asarray(out) - np.asarray(ref)))),
+          0.05, unit="deg_absmax")
+
+    # 4. fused eval-mode PointNet (production serving path on TPU)
+    from pose3d_tpu.models import ShapeEncoderPC
+    from pose3d_tpu.ops.pointnet_fused import (fold_pointnet_params,
+                                               fused_pointnet_eval)
+
+    model = ShapeEncoderPC(feature_dim=256)
+    pts = jnp.asarray(rng.random((4, 512, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), pts, train=False)
+    bs = jax.tree.map(
+        lambda x: x + 0.1 * jnp.arange(x.size, dtype=x.dtype).reshape(x.shape)
+        / x.size, variables["batch_stats"])
+    p = variables["params"].get("ShapeEncoderPC_0", variables["params"])
+    b = bs.get("ShapeEncoderPC_0", bs)
+    folded = fold_pointnet_params(p, b)
+    ref = jax.jit(lambda q: fused_pointnet_eval(q, folded, use_pallas=False))(pts)
+    if interp:
+        from pose3d_tpu.ops.pointnet_fused import pallas_pointnet_interpret
+        out = jax.jit(lambda q: pallas_pointnet_interpret(q, folded))(pts)
+    else:
+        out = jax.jit(lambda q: fused_pointnet_eval(q, folded, use_pallas=True))(pts)
+    check("pointnet_fused_eval", _rel(out, ref), 1e-4)
+
+    # 5. fused train-mode PointNet (fwd + param grads through the custom VJP)
+    if platform == "tpu":  # the module gate only engages on TPU
+        fused_m = ShapeEncoderPC(feature_dim=256, use_fused_train=True)
+        plain_m = ShapeEncoderPC(feature_dim=256)
+        variables = plain_m.init(jax.random.key(1), pts, train=True)
+        wvec = jnp.asarray(rng.normal(0, 1, (4, 256)).astype(np.float32))
+
+        def run(m, params):
+            out, _ = m.apply({"params": params,
+                              "batch_stats": variables["batch_stats"]},
+                             pts, train=True, mutable=["batch_stats"])
+            return jnp.sum(out * wvec), out
+
+        (_, ref), gx = jax.jit(jax.value_and_grad(
+            lambda q: run(plain_m, q), has_aux=True))(variables["params"])
+        (_, out), gf = jax.jit(jax.value_and_grad(
+            lambda q: run(fused_m, q), has_aux=True))(variables["params"])
+        gx_f, _ = jax.flatten_util.ravel_pytree(gx)
+        gf_f, _ = jax.flatten_util.ravel_pytree(gf)
+        check("pointnet_train_fused", _rel(out, ref), 1e-4,
+              grad_rel_err=round(_rel(gf_f, gx_f), 9))
+    else:
+        print(json.dumps({"kernel": "pointnet_train_fused", "pass": None,
+                          "skipped": f"platform={platform}"}), flush=True)
+
+    # 6. VGG stem kernels (experiment records — still must lower correctly)
+    from pose3d_tpu.ops.vgg_stem import (fused_vgg_stem, fused_vgg_stem_cf,
+                                         xla_vgg_stem)
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    k = jnp.asarray((rng.standard_normal((3, 3, 3, 64)) * 0.1).astype(np.float32))
+    bb = jnp.asarray((rng.standard_normal(64) * 0.1).astype(np.float32))
+    ref = jax.jit(xla_vgg_stem)(x, k, bb)
+    check("vgg_stem",
+          _rel(jax.jit(lambda a: fused_vgg_stem(a, k, bb, interp))(x), ref),
+          1e-4)
+    check("vgg_stem_cf",
+          _rel(jax.jit(lambda a: fused_vgg_stem_cf(a, k, bb, interp))(x), ref),
+          1e-4)
+
+    print(json.dumps({"summary": "kernel_parity", "platform": platform,
+                      "checks": len(rows), "failed": fails}))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -30,21 +30,34 @@ except Exception:
     pass
 
 
-def _time(fn, *args, steps=30):
+def _time(fn, *args, steps=30, repeats=7):
+    """Median-of-`repeats` timing windows (docs/PERF.md round-3 protocol):
+    single windows through the axon tunnel vary >4x under multi-tenant
+    contention, so every number reported here is a window median."""
     out = fn(*args)
     jax.tree.map(lambda a: np.asarray(a.ravel()[0]), out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    jax.tree.map(lambda a: np.asarray(a.ravel()[0]), out)
-    return (time.perf_counter() - t0) / steps * 1e3  # ms
+    windows = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn(*args)
+        jax.tree.map(lambda a: np.asarray(a.ravel()[0]), out)
+        windows.append((time.perf_counter() - t0) / steps * 1e3)  # ms
+    return float(np.median(windows)), float(
+        100.0 * (max(windows) - min(windows)) / np.median(windows))
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--sizes", type=str, default="1024,2048,4096,8192")
-    parser.add_argument("--block", type=int, default=512)
+    parser.add_argument("--block", type=int, default=1024,
+                        help="measured-best v5e tile (docs/PERF.md round 4)")
     parser.add_argument("--steps", type=int, default=30)
+    parser.add_argument("--repeats", type=int, default=7)
+    parser.add_argument("--masked", action="store_true",
+                        help="pad-DP regime: last 10%% of rows invalid; "
+                        "A/Bs the kernel's valid-mask path vs the masked "
+                        "XLA loss")
     args = parser.parse_args(argv)
 
     from pose3d_tpu.losses import info_nce_kd
@@ -55,27 +68,41 @@ def main(argv=None):
     for n in [int(x) for x in args.sizes.split(",")]:
         s = jnp.asarray(rng.standard_normal((n, 200)).astype(np.float32))
         t = jnp.asarray(rng.standard_normal((n, 200)).astype(np.float32))
+        valid = None
+        if args.masked:
+            valid = jnp.asarray(np.arange(n) < int(n * 0.9))
 
         xla = jax.jit(jax.value_and_grad(
-            lambda a, b: info_nce_kd(a, b, 0.1, dropout_rng=None),
+            lambda a, b: info_nce_kd(a, b, 0.1, dropout_rng=None,
+                                     valid=valid),
             argnums=(0, 1)))
         blk = jax.jit(jax.value_and_grad(
-            lambda a, b: blocked_info_nce(a, b, 0.1, args.block, False),
+            lambda a, b: blocked_info_nce(a, b, 0.1, args.block, False,
+                                          valid=valid),
             argnums=(0, 1)))
-        row = {"n": n, "block": args.block}
+        row = {"n": n, "block": args.block, "masked": bool(args.masked)}
 
-        (lx, _), (lb, _) = xla(s, t), blk(s, t)
+        (lx, gx), (lb, gb) = xla(s, t), blk(s, t)
         row["loss_rel_gap"] = abs(float(lx) - float(lb)) / abs(float(lx))
-        row["xla_ms"] = round(_time(xla, s, t, steps=args.steps), 3)
-        row["blocked_ms"] = round(_time(blk, s, t, steps=args.steps), 3)
+        row["grad_rel_gap"] = float(
+            jnp.linalg.norm(gx[0] - gb[0]) / jnp.linalg.norm(gx[0]))
+        row["xla_ms"], row["xla_spread_pct"] = _time(
+            xla, s, t, steps=args.steps, repeats=args.repeats)
+        row["blocked_ms"], row["blocked_spread_pct"] = _time(
+            blk, s, t, steps=args.steps, repeats=args.repeats)
         row["blocked_vs_xla"] = round(row["xla_ms"] / row["blocked_ms"], 3)
+        for k in ("xla_ms", "blocked_ms", "xla_spread_pct",
+                  "blocked_spread_pct"):
+            row[k] = round(row[k], 3)
 
-        if n <= 1024:  # single-block kernel VMEM limit
+        if n <= 1024 and not args.masked:  # single-block kernel VMEM limit
             single = jax.jit(jax.value_and_grad(
                 lambda a, b: fused_info_nce(a, b, 0.1, False),
                 argnums=(0, 1)))
             single(s, t)
-            row["single_ms"] = round(_time(single, s, t, steps=args.steps), 3)
+            ms, sp = _time(single, s, t, steps=args.steps,
+                           repeats=args.repeats)
+            row["single_ms"], row["single_spread_pct"] = round(ms, 3), round(sp, 3)
         print(json.dumps(row), flush=True)
 
 
