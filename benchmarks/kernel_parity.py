@@ -51,12 +51,19 @@ def main(argv=None):
     platform = jax.devices()[0].platform
     rows, fails = [], 0
 
-    def check(kernel, rel, tol, **extra):
+    # 1e-2 grad tolerance: the XLA *reference* uses the TPU default
+    # bf16-matmul precision, which alone costs ~2e-3 rel on these shapes
+    GRAD_TOL = 1e-2
+
+    def check(kernel, rel, tol, grad_rel_err=None, **extra):
         nonlocal fails
-        ok = bool(rel <= tol)
+        ok = bool(rel <= tol) and (grad_rel_err is None
+                                   or grad_rel_err <= GRAD_TOL)
         fails += not ok
         row = {"kernel": kernel, "rel_err": round(rel, 9), "tol": tol,
                "pass": ok, **extra}
+        if grad_rel_err is not None:
+            row["grad_rel_err"] = grad_rel_err
         rows.append(row)
         print(json.dumps(row), flush=True)
 
@@ -154,16 +161,36 @@ def main(argv=None):
     from pose3d_tpu.ops.vgg_stem import (fused_vgg_stem, fused_vgg_stem_cf,
                                          xla_vgg_stem)
 
-    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    # 224x224: the shape the stem records were measured at — Mosaic's layout
+    # offsets are shape-dependent and the kernel does not lower at e.g. 32x32
+    # ("result/input offset mismatch on non-concat dimension")
+    hw = 32 if interp else 224
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, 3)).astype(np.float32))
     k = jnp.asarray((rng.standard_normal((3, 3, 3, 64)) * 0.1).astype(np.float32))
     bb = jnp.asarray((rng.standard_normal(64) * 0.1).astype(np.float32))
     ref = jax.jit(xla_vgg_stem)(x, k, bb)
-    check("vgg_stem",
-          _rel(jax.jit(lambda a: fused_vgg_stem(a, k, bb, interp))(x), ref),
-          1e-4)
+    if interp or platform != "tpu":
+        check("vgg_stem",
+              _rel(jax.jit(lambda a: fused_vgg_stem(a, k, bb, interp))(x),
+                   ref), 1e-4)
+    else:
+        # v1 is a DOCUMENTED non-lowering record (vgg_stem.py: Mosaic
+        # rejects the lane-axis im2col concat); the sweep asserts it stays
+        # that way rather than silently passing
+        try:
+            jax.jit(lambda a: fused_vgg_stem(a, k, bb, False))(x)
+            check("vgg_stem_v1_unexpectedly_lowered", 1.0, 0.0)
+        except Exception:
+            print(json.dumps({"kernel": "vgg_stem", "pass": None,
+                              "skipped": "documented Mosaic-unlowerable "
+                                         "record (vgg_stem.py)"}), flush=True)
+    # bf16 tolerance: the cf kernel computes its conv matmuls in bf16 (its
+    # record: "exact to bf16 rounding") and the XLA reference's TPU default
+    # precision is also a bf16 pass — two bf16 roundings in different
+    # accumulation orders differ by ~2e-3 rel
     check("vgg_stem_cf",
           _rel(jax.jit(lambda a: fused_vgg_stem_cf(a, k, bb, interp))(x), ref),
-          1e-4)
+          1e-6 if interp else 5e-3)
 
     print(json.dumps({"summary": "kernel_parity", "platform": platform,
                       "checks": len(rows), "failed": fails}))

@@ -28,7 +28,7 @@ _DEG2RAD = 3.141592653589793 / 180.0
 
 
 def _err_math(pred, gt):
-    """Elementwise geodesic error on (B, 3) degree triples -> (B,)."""
+    """(B, 3) degree triples -> (B,) cos of the geodesic angle."""
 
     def mats(lab):
         azi = lab[:, 0] * _DEG2RAD
@@ -50,11 +50,14 @@ def _err_math(pred, gt):
     a = mats(pred)
     b = mats(gt)
     trace = sum(x * y for x, y in zip(a, b))
-    cos_angle = (jnp.clip(trace, -1.0, 3.0) - 1.0) / 2.0
-    return jnp.arccos(cos_angle) * (1.0 / _DEG2RAD)
+    return (jnp.clip(trace, -1.0, 3.0) - 1.0) / 2.0  # cos(angle)
 
 
 def _kernel(pred_ref, gt_ref, out_ref):
+    # the kernel stops at cos(angle): Mosaic has no acos lowering (verified
+    # on-chip — benchmarks/kernel_parity.py caught it); the final
+    # arccos-and-scale runs outside on the (N,) result, where XLA fuses it
+    # into the surrounding graph at negligible bytes
     out_ref[:, 0] = _err_math(pred_ref[:].astype(jnp.float32),
                               gt_ref[:].astype(jnp.float32))
 
@@ -78,4 +81,4 @@ def rotation_err_pallas(preds_deg, targets_deg, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(preds, gts)
-    return out[:n, 0]
+    return jnp.arccos(out[:n, 0]) * (1.0 / _DEG2RAD)

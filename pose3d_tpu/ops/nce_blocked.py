@@ -50,14 +50,18 @@ from pose3d_tpu.ops.nce_fused import _normalize, _resolve_interpret
 _NEG = -1e30  # large-negative instead of -inf: keeps exp() math NaN-free
 
 
-def _masked_z(s, t, tau, vcol):
+def _masked_z(s, t, tau, vcol_t):
     """Normalized block Gram with invalid COLUMNS masked to _NEG.
 
-    `vcol` is the (B, 1) validity slice for this column block — it is 0 on
-    both caller-masked rows and the internal pad-to-block-multiple tail, so
-    one mask covers both."""
+    `vcol_t` is the LANE-MAJOR (1, B) validity slice for this column block —
+    it is 0 on both caller-masked rows and the internal pad-to-block-multiple
+    tail, so one mask covers both. Lane-major matters: a (B, 1) slice would
+    need a sublane->lane relayout inside the kernel to broadcast over z's
+    columns, and that relayout blows Mosaic's scoped-VMEM budget (measured
+    on-chip: 19.4 MB scoped demand at B=128 vs the 16 MB limit — the
+    kernel-parity sweep caught it). The (1, B) operand broadcasts for free."""
     z = jnp.dot(s, t.T, preferred_element_type=jnp.float32) / tau
-    return jnp.where(vcol[:, 0][None, :] > 0.0, z, _NEG)
+    return jnp.where(vcol_t > 0.0, z, _NEG)
 
 
 def _fwd_kernel(tau_ref, s_ref, t_ref, vcol_ref, m_ref, se_ref, pos_ref):
@@ -165,12 +169,14 @@ def _fwd_call(s, t, validf, tau, block, interpret):
     nb = pl.cdiv(n, block)
     n_pad = nb * block
     sp, tp = _pad(s, n_pad), _pad(t, n_pad)
-    vp = _pad(validf[:, None], n_pad)  # zero-padded: pad tail is invalid
+    # zero-padded: pad tail is invalid; lane-major (1, n_pad) for the column
+    # mask (see _masked_z — sublane-major would force an in-kernel relayout)
+    vt = _pad(validf[:, None], n_pad).reshape(1, n_pad)
     row_spec = pl.BlockSpec((block, d), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((block, d), lambda i, j: (j, 0),
                             memory_space=pltpu.VMEM)
-    vcol_spec = pl.BlockSpec((block, 1), lambda i, j: (j, 0),
+    vcol_spec = pl.BlockSpec((1, block), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((block, 1), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
@@ -181,7 +187,7 @@ def _fwd_call(s, t, validf, tau, block, interpret):
         in_specs=[_smem_spec(), row_spec, col_spec, vcol_spec],
         out_specs=(out_spec, out_spec, out_spec),
         interpret=interpret,
-    )(jnp.asarray([[tau]], jnp.float32), sp, tp, vp)
+    )(jnp.asarray([[tau]], jnp.float32), sp, tp, vt)
     m, se, pos = m[:n], se[:n], pos[:n]
     denom = jnp.exp(pos - m) + se
     per_row = -(pos - m) + jnp.log(denom)  # (n, 1)
@@ -197,7 +203,8 @@ def _bwd_call(s, t, validf, tau, block, m, denom, pos, g, interpret):
     n_pad = nb * block
     sp, tp = _pad(s, n_pad), _pad(t, n_pad)
     pad1 = lambda x: _pad(x, n_pad)
-    vp = pad1(validf[:, None])
+    vp = pad1(validf[:, None])          # sublane-major: row mask
+    vt = vp.reshape(1, n_pad)           # lane-major: column mask
     mp, dp, pp = pad1(m), pad1(denom), pad1(pos)
     n_valid = jnp.maximum(jnp.sum(validf), 1.0)
     g_eff = (g / n_valid).astype(jnp.float32)  # d(mean over valid rows)
@@ -209,17 +216,20 @@ def _bwd_call(s, t, validf, tau, block, m, denom, pos, g, interpret):
         return pl.BlockSpec((block, width), index_map,
                             memory_space=pltpu.VMEM)
 
+    def tspec(index_map):  # lane-major (1, block) column-mask slice
+        return pl.BlockSpec((1, block), index_map, memory_space=pltpu.VMEM)
+
     ds_n = pl.pallas_call(
         _bwd_ds_kernel,
         grid=(nb, nb),
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         in_specs=[_smem_spec()] * 2
         + [vspec(by_i, d), vspec(by_j, d),
-           vspec(by_i, 1), vspec(by_j, 1),
+           vspec(by_i, 1), tspec(lambda i, j: (0, j)),
            vspec(by_i, 1), vspec(by_i, 1), vspec(by_i, 1)],
         out_specs=vspec(by_i, d),
         interpret=interpret,
-    )(*scal, sp, tp, vp, vp, mp, dp, pp)
+    )(*scal, sp, tp, vp, vt, mp, dp, pp)
 
     # col-major pass: program_id(0)=j (t rows), program_id(1)=i (s rows)
     dt_n = pl.pallas_call(
@@ -228,11 +238,11 @@ def _bwd_call(s, t, validf, tau, block, m, denom, pos, g, interpret):
         out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
         in_specs=[_smem_spec()] * 2
         + [vspec(by_j, d), vspec(by_i, d),
-           vspec(by_j, 1), vspec(by_i, 1),
+           vspec(by_j, 1), tspec(lambda i, j: (0, i)),
            vspec(by_j, 1), vspec(by_j, 1), vspec(by_j, 1)],
         out_specs=vspec(by_i, d),
         interpret=interpret,
-    )(*scal, sp, tp, vp, vp, mp, dp, pp)
+    )(*scal, sp, tp, vp, vt, mp, dp, pp)
 
     ds_n, dt_n = ds_n[:n], dt_n[:n]
     # back through the row L2 normalization (outside the kernel: O(N D))

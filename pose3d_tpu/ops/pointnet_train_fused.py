@@ -28,9 +28,19 @@ formula da = g*r*(dy - mean(dy) - xhat*mean(dy*xhat)), r = rsqrt(var+eps).
 
 Numerics: matmuls accumulate f32 and round to the compute dtype exactly like
 the XLA path; stat sums differ from jnp.mean only in f32 summation ORDER
-(~1e-7 rel). The max backward splits ties evenly (d = g*(y==max)/count),
-matching jax.numpy.max's VJP. A/B-tested against the explicit XLA path
-(models/pointnet.dense_bn_forward — values AND grads) in tests/test_ops.py.
+(~1e-7 rel). The max backward routes g to the ARGMAX row via an index F4
+stores at forward time and an exact integer compare in B1 — NOT a value
+compare: B1 recomputes y3, and on real hardware the two programs'
+matmuls accumulate in different orders (~1e-3 rel divergence under the TPU
+f32 default matmul precision), so an exact == against the stored max
+silently drops the true max row and any workable tolerance mis-assigns g
+to near-max rows (both measured — benchmarks/kernel_parity.py caught the
+~100%-wrong on-chip grads in round 4 while interpret mode passed bitwise).
+jnp.max's VJP splits exact float ties instead of picking the first; exact
+ties are measure-zero in continuous activations and gradient-equivalent
+when they occur. A/B-tested against the explicit XLA path
+(models/pointnet.dense_bn_forward — values AND grads) in tests/test_ops.py
+AND on-chip via the kernel-parity sweep.
 
 Integration: models/pointnet.ShapeEncoderPC(use_fused_train=True); the
 masked (padded-batch) and sync-BN paths fall back to XLA.
@@ -163,13 +173,26 @@ def _f3_kernel(n_real, p_real, h1_ref, w2_ref, b2_ref, mu2_ref, v2_ref,
     _accum_stats(a3, _row_mask(n_real, p_real, bn, bp), s3_ref, q3_ref)
 
 
+def _onehot_dot(a, b):
+    """Exact-copy matmul for 0/1 expansion matrices.
+
+    precision=HIGHEST is REQUIRED, not an optimization: the TPU default
+    matmul precision is a single bf16 pass, which rounds the non-0/1
+    operand to 8 mantissa bits — a row-copied index like 307 or a copied
+    max value comes out changed, and every downstream == compare goes
+    false. Measured on chip (kernel-parity r4): with default precision the
+    max-backward's eq never fires and dy3 is silently all-zero."""
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _expand_mats(bn, bp):
     """Constant 0/1 matrices mapping (sample,) vectors <-> flattened
     (sample*point,) rows: E (BN*BP, BN) with E[r, r//bp]=1 and its
     transpose ET (BN, BN*BP). Mosaic has no sublane broadcast, so
     per-sample quantities are expanded to rows (E @ v) and row quantities
     reduced to samples (ET @ x) with cheap MXU matmuls instead of
-    `v[:, None, :]`-style 3-D broadcasts."""
+    `v[:, None, :]`-style 3-D broadcasts. Use _onehot_dot with these."""
     r0 = jax.lax.broadcasted_iota(jnp.int32, (bn * bp, bn), 0)
     c0 = jax.lax.broadcasted_iota(jnp.int32, (bn * bp, bn), 1)
     e = (r0 // bp == c0).astype(jnp.float32)
@@ -188,62 +211,73 @@ def _segment_max(x, bn, bp):
 
 
 def _f4_kernel(n_real, p_real, h2_ref, w3_ref, b3_ref, mu3_ref, v3_ref,
-               sc3_ref, bi3_ref, out_ref, cnt_ref, *, dtype):
+               sc3_ref, bi3_ref, out_ref, idx_ref, *, dtype):
     j = pl.program_id(1)
     bn, bp = h2_ref.shape[0], h2_ref.shape[1]
     h2 = h2_ref[:].reshape(bn * bp, -1)
     a3 = _dense(h2, w3_ref, b3_ref, dtype)
     y3 = _normalize(a3, mu3_ref, v3_ref, sc3_ref, bi3_ref, dtype, relu=False)
     mask = _row_mask(n_real, p_real, bn, bp)
-    neg = jnp.asarray(-jnp.inf, jnp.float32).astype(dtype)
+    # large-negative, NOT -inf: bm feeds a 0/1 one-hot matmul below, and a
+    # fully-padded sample's bm = -inf would turn every row of that product
+    # into NaN (0 * -inf) — masking real rows' compares too
+    neg = jnp.asarray(-1e30, jnp.float32).astype(dtype)
     y3 = jnp.where(mask, y3, neg)                              # (BN*BP, D)
     bm = _segment_max(y3, bn, bp)                              # (BN, D)
-    e, et = _expand_mats(bn, bp)
-    # exact row-copy of each sample's max (one 1.0 per E row), then count
-    # ties with a 0/1-matmul reduction — no sublane broadcasts. Compares run
-    # in f32 (exact for upcast bf16): the VPU has no bf16 cmp.
-    bm_rows = jnp.dot(e, bm.astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
-    eq = (y3.astype(jnp.float32) == bm_rows).astype(jnp.float32)
-    bc = jnp.dot(et, eq, preferred_element_type=jnp.float32)   # (BN, D)
+
+    # ARGMAX point index (as f32 — exact below 2^24), NOT tie counts: B1
+    # recomputes y3, and a cross-kernel float compare against it is unsound
+    # on real hardware — the two programs' matmuls may accumulate in
+    # different orders (measured ~1e-3 rel divergence under the TPU f32
+    # default matmul precision), so an exact == drops the true max row and
+    # any workable tolerance mis-assigns g to near-max rows (both measured,
+    # kernel-parity r4). The compare below is against THIS kernel's own y3 —
+    # bitwise self-consistent on any backend.
+    e, _ = _expand_mats(bn, bp)
+    bm_rows = _onehot_dot(e, bm.astype(jnp.float32))
+    r = jax.lax.broadcasted_iota(jnp.int32, (bn * bp, 1), 0)
+    pidx = (r % bp + j * bp).astype(jnp.float32)               # (BN*BP, 1)
+    cand = jnp.where(y3.astype(jnp.float32) == bm_rows, pidx, 1e9)
+    bi = -_segment_max(-cand, bn, bp)                  # first-tie argmax
 
     @pl.when(j == 0)
     def _():
         out_ref[:] = bm
-        cnt_ref[:] = bc
+        idx_ref[:] = bi
 
     @pl.when(j > 0)
     def _():
-        nm = jnp.maximum(out_ref[:], bm)
-        nf = nm.astype(jnp.float32)
-        cnt_ref[:] = (jnp.where(out_ref[:].astype(jnp.float32) == nf,
-                                cnt_ref[:], 0.0)
-                      + jnp.where(bm.astype(jnp.float32) == nf, bc, 0.0))
-        out_ref[:] = nm
+        better = bm.astype(jnp.float32) > out_ref[:].astype(jnp.float32)
+        idx_ref[:] = jnp.where(better, bi, idx_ref[:])
+        out_ref[:] = jnp.maximum(out_ref[:], bm)
 
 
 # ---------------------------------------------------------------- backward
 def _b1_kernel(n_real, p_real, h1_ref, h2_ref, w2_ref, b2_ref, mu2_ref,
                v2_ref, w3_ref, b3_ref, mu3_ref, v3_ref, sc3_ref, bi3_ref,
-               g_ref, out_ref, cnt_ref, c13_ref, c23_ref,
+               g_ref, idx_ref, c13_ref, c23_ref,
                dy2_ref, dw3_ref, db3_ref, s_ref, q_ref, *, dtype):
+    j = pl.program_id(1)
     bn, bp = h2_ref.shape[0], h2_ref.shape[1]
     h2 = h2_ref[:].reshape(bn * bp, -1)
     a3 = _dense(h2, w3_ref, b3_ref, dtype)
-    y3 = _normalize(a3, mu3_ref, v3_ref, sc3_ref, bi3_ref, dtype, relu=False)
     mask = _row_mask(n_real, p_real, bn, bp)
 
-    # d_y3 = g * (y3 == max) / tie_count on valid rows (jnp.max VJP parity).
-    # Per-sample (out, g, cnt) vectors are expanded to rows with the 0/1
-    # E matmul — Mosaic has no sublane broadcast for `[:, None, :]` forms.
+    # dy3: all of g to F4's stored argmax row, by EXACT integer compare on
+    # the expanded point index — no cross-kernel float compare (see
+    # _f4_kernel: the recomputed y3 here differs from F4's by ~1e-3 rel on
+    # real hardware, so comparing values cannot work). Per-sample (idx, g)
+    # vectors are expanded to rows with the 0/1 E matmul — Mosaic has no
+    # sublane broadcast for `[:, None, :]` forms. jnp.max's VJP splits
+    # exact float ties instead of picking the first; exact ties are
+    # measure-zero in continuous activations, and on a tie the two rows are
+    # identical in value, so which carries g is gradient-equivalent.
     e, _ = _expand_mats(bn, bp)
-    ed = lambda v: jnp.dot(e, v.astype(jnp.float32),
-                           preferred_element_type=jnp.float32)
-    # f32 compare (no bf16 VPU cmp); E row-copies are exact, so this equals
-    # the dtype-level tie test
-    eq = (y3.astype(jnp.float32) == ed(out_ref[:]))
-    dy3 = (ed(g_ref[:]) * eq.astype(jnp.float32)
-           / jnp.maximum(ed(cnt_ref[:]), 1.0))
+    ed = lambda v: _onehot_dot(e, v.astype(jnp.float32))
+    r = jax.lax.broadcasted_iota(jnp.int32, (bn * bp, 1), 0)
+    pidx = (r % bp + j * bp).astype(jnp.float32)
+    eq = (pidx == ed(idx_ref[:])).astype(jnp.float32)
+    dy3 = ed(g_ref[:]) * eq
     dy3 = jnp.where(mask, dy3, 0.0)
 
     # BN3 backward through the batch statistics
@@ -414,7 +448,7 @@ def _fwd_impl(points, params, dtype):
          w3, b3), n, p, dtype)
     mu3, v3 = _finalize_stats(s3, q3, m)
 
-    out, cnt = _call(
+    out, idx = _call(
         _f4_kernel, grid,
         [_row_spec(c2)] + [_full_spec()] * 6,
         (_sample_spec(c3), _sample_spec(c3)),
@@ -422,15 +456,15 @@ def _fwd_impl(points, params, dtype):
          jax.ShapeDtypeStruct((n_pad, c3), jnp.float32)),
         (h2, w3, b3, vec(mu3), vec(v3), vec(bn3["scale"]), vec(bn3["bias"])),
         n, p, dtype)
-    out, cnt = out[:n], cnt[:n]
+    out, idx = out[:n], idx[:n]
     stats = ((mu1, v1), (mu2, v2), (mu3, v3))
-    return out, stats, (pts, h1, h2, cnt)
+    return out, stats, (pts, h1, h2, idx)
 
 
 def _bwd_impl(points, params, dtype, stats, caches, out, g):
     (d1, bn1), (d2, bn2), (d3, bn3) = params
     (mu1, v1), (mu2, v2), (mu3, v3) = stats
-    pts, h1, h2, cnt = caches
+    pts, h1, h2, idx = caches
     n, p, _ = points.shape
     pp = h1.shape[1]
     n_pad = pts.shape[0]
@@ -452,13 +486,13 @@ def _bwd_impl(points, params, dtype, stats, caches, out, g):
     c13, c23 = dbeta3 / m, dgamma3 / m
 
     g_pad = jnp.pad(g, ((0, n_pad - n), (0, 0)))
-    out_pad = jnp.pad(out, ((0, n_pad - n), (0, 0)))
-    cnt_pad = jnp.pad(cnt, ((0, n_pad - n), (0, 0)))
+    # pad tail indices point nowhere (-1 matches no row): dy3 stays 0 there
+    idx_pad = jnp.pad(idx, ((0, n_pad - n), (0, 0)), constant_values=-1.0)
 
     dy2, dw3, db3, s_dy2, q_dy2 = _call(
         _b1_kernel, grid,
         [_row_spec(c1), _row_spec(c2)] + [_full_spec()] * 10
-        + [_sample_spec(c3)] * 3 + [_full_spec()] * 2,
+        + [_sample_spec(c3)] * 2 + [_full_spec()] * 2,
         (_row_spec(c2), _full_spec(), _vec_spec(c3), _vec_spec(c2),
          _vec_spec(c2)),
         (jax.ShapeDtypeStruct((n_pad, pp, c2), dtype),
@@ -468,7 +502,7 @@ def _bwd_impl(points, params, dtype, stats, caches, out, g):
          jax.ShapeDtypeStruct((1, c2), jnp.float32)),
         (h1, h2, w2, b2, vec(mu2), vec(v2), w3, b3, vec(mu3), vec(v3),
          vec(bn3["scale"]), vec(bn3["bias"]),
-         g_pad, out_pad, cnt_pad, vec(c13), vec(c23)), n, p, dtype)
+         g_pad, idx_pad, vec(c13), vec(c23)), n, p, dtype)
     dbeta2, dgamma2 = s_dy2[0], q_dy2[0]
     c12, c22 = dbeta2 / m, dgamma2 / m
 
