@@ -82,18 +82,24 @@ def main(argv=None):
             argnums=(0, 1)))
         row = {"n": n, "block": args.block, "masked": bool(args.masked)}
 
-        (lx, gx), (lb, gb) = xla(s, t), blk(s, t)
-        row["loss_rel_gap"] = abs(float(lx) - float(lb)) / abs(float(lx))
-        row["grad_rel_gap"] = float(
-            jnp.linalg.norm(gx[0] - gb[0]) / jnp.linalg.norm(gx[0]))
-        row["xla_ms"], row["xla_spread_pct"] = _time(
-            xla, s, t, steps=args.steps, repeats=args.repeats)
-        row["blocked_ms"], row["blocked_spread_pct"] = _time(
-            blk, s, t, steps=args.steps, repeats=args.repeats)
-        row["blocked_vs_xla"] = round(row["xla_ms"] / row["blocked_ms"], 3)
-        for k in ("xla_ms", "blocked_ms", "xla_spread_pct",
-                  "blocked_spread_pct"):
-            row[k] = round(row[k], 3)
+        # the XLA lowering can exceed HBM outright at wide N (it
+        # materializes the N^2 Gram + softmax); survive and still time the
+        # blocked kernel — the surviving-the-wall case IS the result
+        try:
+            (lx, gx) = xla(s, t)
+            row["xla_ms"], row["xla_spread_pct"] = (round(v, 3) for v in _time(
+                xla, s, t, steps=args.steps, repeats=args.repeats))
+        except Exception as e:
+            lx, gx = None, None
+            row["xla_oom"] = type(e).__name__
+        (lb, gb) = blk(s, t)
+        row["blocked_ms"], row["blocked_spread_pct"] = (round(v, 3) for v in _time(
+            blk, s, t, steps=args.steps, repeats=args.repeats))
+        if lx is not None:
+            row["loss_rel_gap"] = abs(float(lx) - float(lb)) / abs(float(lx))
+            row["grad_rel_gap"] = float(
+                jnp.linalg.norm(gx[0] - gb[0]) / jnp.linalg.norm(gx[0]))
+            row["blocked_vs_xla"] = round(row["xla_ms"] / row["blocked_ms"], 3)
 
         if n <= 1024 and not args.masked:  # single-block kernel VMEM limit
             single = jax.jit(jax.value_and_grad(
