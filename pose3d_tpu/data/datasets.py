@@ -43,13 +43,15 @@ def _finalize(im: Image.Image, rng, train: bool, contrast: bool,
               host_augment: bool = True) -> np.ndarray:
     """ToTensor + aug + normalize + PCA lighting as float32 HWC.
 
-    host_augment=False emits RAW float [0,1] pixels — the photometric augs +
+    host_augment=False emits RAW pixels as uint8 — the photometric augs +
     normalize then run on-device inside the train step
     (pose3d_tpu.ops.augment), sidestepping the GIL-bound numpy ops that cap
-    host throughput (docs/PERF.md)."""
-    arr = T.to_float_array(im)
+    host throughput (docs/PERF.md). The uint8 wire format matches
+    to_float_array to 1 ULP (ops.augment.dewire) and cuts the dominant
+    host->device transfer 4x (PERF.md round 4 sustained training)."""
     if not host_augment:
-        return arr.astype(np.float32)
+        return np.asarray(im, np.uint8)
+    arr = T.to_float_array(im)
     if train:
         if contrast:
             if rng.random() < 0.8:

@@ -138,30 +138,54 @@ class DataLoader:
 
 
 class Prefetcher:
-    """Overlap host->device transfer with compute: wraps an iterator of numpy
-    batches and keeps `depth` batches in flight on device."""
+    """Overlap host batch prep + host->device transfer with device compute.
 
-    def __init__(self, iterator, place_fn, depth: int = 2):
-        self._it = iter(iterator)
-        self._place = place_fn
-        self._depth = depth
-        self._buf: list = []
-        self._fill()
+    A feeder thread pulls numpy batches from the loader and submits
+    `place_fn` (pad/shard/device_put) to a small transfer pool; the consumer
+    receives completed device batches IN ORDER, up to `depth` ahead.
+    Threading matters: through the axon tunnel a bs46 image batch costs
+    ~200 ms (u8) to transfer — synchronous placement would serialize that
+    with the 70 ms device step (docs/PERF.md round 4 "sustained training");
+    here transfers are I/O-bound and hide under the step + the decode
+    workers, and two transfers can be in flight at once. Exceptions from the
+    loader or place_fn re-raise at the consumer's next __next__."""
 
-    def _fill(self):
-        while len(self._buf) < self._depth:
+    _DONE = object()
+
+    def __init__(self, iterator, place_fn, depth: int = 2,
+                 transfer_threads: int = 2):
+        import queue as _queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._q: "_queue.Queue" = _queue.Queue(maxsize=max(1, depth))
+        self._err: BaseException | None = None
+        self._pool = ThreadPoolExecutor(max_workers=max(1, transfer_threads),
+                                        thread_name_prefix="pose3d-transfer")
+
+        def _run():
             try:
-                batch = next(self._it)
-            except StopIteration:
-                return
-            self._buf.append(self._place(batch))
+                for batch in iterator:
+                    # futures enqueue in order -> consumer sees loader order
+                    self._q.put(self._pool.submit(place_fn, batch))
+            except BaseException as e:  # surfaced in __next__
+                self._err = e
+            finally:
+                self._q.put(Prefetcher._DONE)
+
+        self._thread = threading.Thread(target=_run, daemon=True,
+                                        name="pose3d-prefetch")
+        self._thread.start()
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        if not self._buf:
+        out = self._q.get()
+        if out is Prefetcher._DONE:
+            self._thread.join()
+            self._pool.shutdown(wait=False)
+            if self._err is not None:
+                raise self._err
             raise StopIteration
-        out = self._buf.pop(0)
-        self._fill()
-        return out
+        return out.result()

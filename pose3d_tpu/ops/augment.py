@@ -37,6 +37,25 @@ from pose3d_tpu.data.transforms import (
 # created during tracing is a tracer that leaks into module state and
 # poisons every later trace (UnexpectedTracerError — caught by the full
 # suite's e2e-before-test_ops ordering).
+def dewire(im: jnp.ndarray) -> jnp.ndarray:
+    """uint8 wire format -> the host's exact float [0,1] pixels.
+
+    Raw (host_augment=False / device_views) batches cross the host->device
+    boundary as uint8 — 4x fewer bytes on the transfer that dominates
+    sustained training through the tunnel (docs/PERF.md round 4: 27.7 MB f32
+    image batch = 728 ms vs the 70.7 ms device step). Matches
+    data.transforms.to_float_array (np.asarray(im, f32)/255.0) to within
+    1 ULP over all 256 values (XLA strength-reduces the division to a
+    reciprocal multiply; max |delta| = 2^-24 — pinned in
+    test_u8_wire_dewire_1ulp). Exact equality is unattainable without a
+    256-entry gather, and no consumer can tell: raw pixels feed the device
+    photometric augs + normalize next. f32 batches pass through untouched,
+    so every step accepts both wire formats."""
+    if im.dtype == jnp.uint8:
+        return im.astype(jnp.float32) / jnp.float32(255.0)
+    return im
+
+
 _LUMA = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from pose3d_tpu import geometry
+from pose3d_tpu.ops.augment import dewire
 from pose3d_tpu.losses import (
     info_nce_kd,
     info_nce_kd_per_sample,
@@ -134,7 +135,7 @@ def make_teacher_train_step(
     def loss_fn(params, batch_stats, batch: Batch, rng):
         drop_rng, nce_rng, aug_rng = jax.random.split(rng, 3)
         valid = _valid_of(batch)
-        im = batch["im"]
+        im = dewire(batch["im"])  # u8 wire -> exact [0,1] f32 (4x transfer cut)
         if device_augment:
             from pose3d_tpu.ops.augment import device_augment as _aug
 
@@ -171,7 +172,8 @@ def make_teacher_train_step(
 def make_vanilla_train_step(model, has_shape: bool, bin_size: int = 15) -> Callable:
     def loss_fn(params, batch_stats, batch: Batch, rng):
         valid = _valid_of(batch)
-        args = (batch["im"], batch["shape"]) if has_shape else (batch["im"],)
+        im = dewire(batch["im"])
+        args = (im, batch["shape"]) if has_shape else (im,)
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             *args, train=True, mask=valid,
@@ -233,10 +235,10 @@ def make_kd_crd_step(
         if device_views:
             from pose3d_tpu.ops.augment import synthesize_views
 
-            im = synthesize_views(batch["im"], batch["rot_sign"])
+            im = synthesize_views(dewire(batch["im"]), batch["rot_sign"])
         else:
-            im = jnp.concatenate([batch["im"], batch["im_flip"], batch["im_rot"]],
-                                 axis=0)
+            im = dewire(jnp.concatenate(
+                [batch["im"], batch["im_flip"], batch["im_rot"]], axis=0))
         label = jnp.concatenate(
             [batch["label"], batch["label_flip"], batch["label_rot"]], axis=0
         )
@@ -320,14 +322,15 @@ def make_stage1_step(
     def loss_fn(t_params, s_params, t_bs, s_bs, batch: Batch, rng, bank):
         s_rng, nce_rng1, nce_rng2 = jax.random.split(rng, 3)
         valid = _valid_of(batch)
+        im = dewire(batch["im"])
         (s_out, s_feat), s_mut = student_model.apply(
             {"params": s_params, "batch_stats": s_bs},
-            batch["im"], train=True, mask=valid,
+            im, train=True, mask=valid,
             rngs={"dropout": s_rng}, mutable=["batch_stats"],
         )
         (t_out, t_feat), t_mut = teacher_model.apply(
             {"params": t_params, "batch_stats": t_bs},
-            batch["im"], batch["shape"], train=True, mask=valid,
+            im, batch["shape"], train=True, mask=valid,
             mutable=["batch_stats"],
         )
         t_out = _f32(t_out)
@@ -405,10 +408,11 @@ def make_stage2_step(
                                                 synthesize_views)
 
             rng, aug_rng = jax.random.split(rng)
-            im = _aug(synthesize_views(batch["im"], batch["rot_sign"]), aug_rng)
+            im = _aug(synthesize_views(dewire(batch["im"]), batch["rot_sign"]),
+                      aug_rng)
         else:
-            im = jnp.concatenate([batch["im"], batch["im_flip"], batch["im_rot"]],
-                                 axis=0)
+            im = dewire(jnp.concatenate(
+                [batch["im"], batch["im_flip"], batch["im_rot"]], axis=0))
         label = jnp.concatenate(
             [batch["label"], batch["label_flip"], batch["label_rot"]], axis=0
         )

@@ -20,6 +20,7 @@ import os
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pose3d_tpu.data.loader import Prefetcher
@@ -49,11 +50,46 @@ def _device_batch(batch: dict, valid, mesh) -> tuple[dict, "np.ndarray"]:
         batch = {**batch, "valid": valid}
     if mesh is not None:
         batch = shard_batch(batch, mesh)
+    else:
+        # EXPLICIT device placement: without it the numpy batch is
+        # transferred synchronously inside the jit call — in the consumer's
+        # thread, serialized with dispatch — and the Prefetcher thread hides
+        # nothing. Through the tunnel that transfer is ~260 ms per KD batch,
+        # 3.7x the device step (docs/PERF.md round 4 "sustained training").
+        batch = jax.device_put(batch)
     return batch, valid
 
 
 def _strip(batch: dict, keys) -> dict:
     return {k: batch[k] for k in keys if k in batch}
+
+
+class _DeferredMeters:
+    """Per-step device metrics WITHOUT per-step syncs: a float() after every
+    step costs a ~24 ms tunnel roundtrip and — worse — blocks the dispatch
+    pipeline, serializing transfer against compute (docs/PERF.md round 4
+    "sustained training"). push() keeps the device scalars; flush()
+    materializes them in two stacked transfers and feeds the meters, so
+    running averages printed at flush boundaries are bit-identical to the
+    old eager code. flush() also syncs every queued step — call it before
+    taking wall-clock timestamps."""
+
+    def __init__(self, loss_m: AverageValueMeter, acc_m: AverageValueMeter):
+        self.loss_m, self.acc_m = loss_m, acc_m
+        self._pending: list = []
+
+    def push(self, metrics: dict, n: int) -> None:
+        self._pending.append((metrics, n))
+
+    def flush(self) -> None:
+        if not self._pending:
+            return
+        losses = np.asarray(jnp.stack([m["loss"] for m, _ in self._pending]))
+        accs = np.asarray(jnp.stack([m["acc_rot"] for m, _ in self._pending]))
+        for (_, n), lo, ac in zip(self._pending, losses, accs):
+            self.loss_m.update(float(lo), n)
+            self.acc_m.update(float(ac), n)
+        self._pending.clear()
 
 
 class _Base:
@@ -145,6 +181,7 @@ class TeacherTrainer(_Base):
             self.train_loader.set_epoch(epoch)
             train_loss = AverageValueMeter()
             train_acc = AverageValueMeter()
+            meters = _DeferredMeters(train_loss, train_acc)
             t0 = time.time()
             data_time = AverageValueMeter()
             batch_time = AverageValueMeter()
@@ -154,16 +191,17 @@ class TeacherTrainer(_Base):
                 data_time.update(time.time() - end)
                 self._maybe_profile(i)
                 self.state, metrics = self.train_step(self.state, db)
-                n = int(valid.sum())
-                train_loss.update(float(metrics["loss"]), n)
-                train_acc.update(float(metrics["acc_rot"]), n)
+                meters.push(metrics, int(valid.sum()))
+                # dispatch cadence, not synced step time — steps queue ahead
                 batch_time.update(time.time() - end)
                 end = time.time()
                 if (i + 1) % self.print_freq == 0:
+                    meters.flush()  # running averages stay print-exact
                     print(f"\tEpoch {epoch:3d} --- Iter [{i + 1}/{len(self.train_loader)}] "
                           f"Train loss: {train_loss.avg:.2f} || Train accuracy: {train_acc.avg:.2f}")
                     print(f"\tData loading time: {data_time.val:.2f} ({data_time.avg:.2f})"
                           f"-- Batch time: {batch_time.val:.2f} ({batch_time.avg:.2f})\n")
+            meters.flush()
 
             variables = {"params": self.state.params, "batch_stats": self.state.batch_stats}
             result = self._eval(self.eval_step, variables, self.eval_loader,
@@ -237,17 +275,18 @@ class SupervisedTrainer(_Base):
         for epoch in range(start_epoch, epochs):
             self.train_loader.set_epoch(epoch)
             loss_m, acc_m = AverageValueMeter(), AverageValueMeter()
+            meters = _DeferredMeters(loss_m, acc_m)
             t0 = time.time()
             for i, (db, valid) in enumerate(self._prefetch(self.train_loader,
                                                            self.batch_keys)):
                 self._maybe_profile(i)
                 self.state, metrics = self.train_step(self.state, db)
-                n = int(valid.sum())
-                loss_m.update(float(metrics["loss"]), n)
-                acc_m.update(float(metrics["acc_rot"]), n)
+                meters.push(metrics, int(valid.sum()))
                 if (i + 1) % self.print_freq == 0:
+                    meters.flush()
                     print(f"\tEpoch {epoch:3d} --- Iter [{i + 1}/{len(self.train_loader)}] "
                           f"Train loss: {loss_m.avg:.2f} || Train accuracy: {acc_m.avg:.2f}")
+            meters.flush()
 
             variables = {"params": self.state.params,
                          "batch_stats": self.state.batch_stats}
@@ -345,17 +384,18 @@ class KDTrainer(_Base):
         for epoch in range(start_epoch, epochs):
             self.train_loader.set_epoch(epoch)
             loss_m, acc_m = AverageValueMeter(), AverageValueMeter()
+            meters = _DeferredMeters(loss_m, acc_m)
             t0 = time.time()
             for i, (db, valid) in enumerate(self._prefetch(self.train_loader, keys)):
                 self._maybe_profile(i)
                 self.student_state, metrics = step(self.student_state,
                                                    self.teacher_vars, db)
-                n = int(valid.sum())
-                loss_m.update(float(metrics["loss"]), n)
-                acc_m.update(float(metrics["acc_rot"]), n)
-            # train-only wall time (the float() above synced the last step);
-            # sustained samples/s = train_samples / train_seconds, the number
-            # to hold against the device-step ceiling (docs/PERF.md)
+                meters.push(metrics, int(valid.sum()))
+            # the flush syncs the last step, so train_seconds stays an honest
+            # device-inclusive time; sustained samples/s = train_samples /
+            # train_seconds, the number to hold against the device-step
+            # ceiling (docs/PERF.md)
+            meters.flush()
             train_seconds = time.time() - t0
 
             variables = {"params": self.student_state.params,
@@ -432,6 +472,7 @@ class KDTrainer(_Base):
         for epoch in range(start_epoch, epochs):
             self.train_loader.set_epoch(epoch)
             loss_m, acc_m = AverageValueMeter(), AverageValueMeter()
+            meters = _DeferredMeters(loss_m, acc_m)
             for i, (db, valid) in enumerate(self._prefetch(self.train_loader, keys)):
                 self._maybe_profile(i)
                 if use_memory_bank:
@@ -440,9 +481,8 @@ class KDTrainer(_Base):
                 else:
                     self.teacher_state, self.student_state, metrics = step(
                         self.teacher_state, self.student_state, db)
-                n = int(valid.sum())
-                loss_m.update(float(metrics["loss"]), n)
-                acc_m.update(float(metrics["acc_rot"]), n)
+                meters.push(metrics, int(valid.sum()))
+            meters.flush()
 
             variables = {"params": self.teacher_state.params,
                          "batch_stats": self.teacher_state.batch_stats}

@@ -389,3 +389,60 @@ def test_kd_pascal3d_crd_batch_has_three_views(pascal3d_root):
     for k in ("im", "im_flip", "im_rot", "label", "label_flip", "label_rot",
               "shape"):
         assert k in batch, k
+
+
+def test_u8_wire_dewire_1ulp():
+    """uint8 wire + on-device dewire reproduces to_float_array to within
+    1 ULP for every representable pixel value (XLA strength-reduces the
+    /255.0 to a reciprocal multiply) — the 4x transfer cut behind PERF.md
+    round 4 "sustained training". No consumer can distinguish 1 ULP of a
+    raw pixel: the device photometric augs + normalize run next."""
+    import jax.numpy as jnp
+
+    from pose3d_tpu.ops.augment import dewire
+
+    u8 = np.arange(256, dtype=np.uint8).reshape(16, 16, 1)
+    host = np.asarray(u8, np.float32) / 255.0  # transforms.to_float_array
+    dev = np.asarray(dewire(jnp.asarray(u8)))
+    np.testing.assert_array_almost_equal_nulp(host, dev, nulp=1)
+    # f32 batches pass through untouched
+    f = np.random.default_rng(0).random((4, 4, 3)).astype(np.float32)
+    np.testing.assert_array_equal(f, np.asarray(dewire(jnp.asarray(f))))
+
+
+def test_raw_wire_is_uint8(fixture_root):
+    """host_augment=False / device_views emit uint8 images; the default
+    host-augmented path stays normalized float32."""
+    kw = dict(shape="PointCloud", shape_dir="pointcloud", point_num=32,
+              input_dim=64, train=True)
+    raw = datasets.Pascal3DContrast(fixture_root, "ObjectNet3D.txt",
+                                    host_augment=False, **kw)
+    dev = datasets.Pascal3DContrast(fixture_root, "ObjectNet3D.txt",
+                                    device_views=True, **kw)
+    aug = datasets.Pascal3DContrast(fixture_root, "ObjectNet3D.txt", **kw)
+    g = lambda ds: ds.get(0, np.random.default_rng(0))
+    assert g(raw)["im"].dtype == np.uint8
+    assert g(raw)["im_flip"].dtype == np.uint8
+    assert g(dev)["im"].dtype == np.uint8
+    assert g(aug)["im"].dtype == np.float32
+
+
+def test_prefetcher_order_and_exceptions():
+    """The threaded Prefetcher preserves order, applies place_fn, and
+    re-raises host-pipeline exceptions at the consumer."""
+    import pytest as _pytest
+
+    from pose3d_tpu.data.loader import Prefetcher
+
+    assert list(Prefetcher(range(7), lambda x: x * 2, depth=2)) == \
+        [0, 2, 4, 6, 8, 10, 12]
+
+    def boom():
+        yield 1
+        raise RuntimeError("host pipeline died")
+
+    it = Prefetcher(boom(), lambda x: x)
+    assert next(it) == 1
+    with _pytest.raises(RuntimeError, match="host pipeline died"):
+        for _ in range(4):
+            next(it)

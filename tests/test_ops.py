@@ -80,7 +80,8 @@ def test_host_augment_false_emits_raw_pixels(tmp_path, rng):
                                    shape=None, input_dim=32, host_augment=False)
     s = ds.get(0, np.random.default_rng(0))
     for k in ("im", "im_flip", "im_rot"):
-        assert s[k].min() >= 0.0 and s[k].max() <= 1.0  # raw pixels, not normalized
+        # raw pixels ride the wire as uint8 (dewired to [0,1] on device)
+        assert s[k].dtype == np.uint8
 
 
 def test_rotate_views_matches_pil(rng):
@@ -132,9 +133,13 @@ def test_device_views_dataset_equivalence(tmp_path, rng):
                                         host_augment=False, **kw)
     ds_dev = datasets.Pascal3DContrast(root, "ObjectNet3D.txt",
                                        device_views=True, **kw)
+    from pose3d_tpu.ops.augment import dewire
+
     for idx in range(3):
         a = ds_host.get(idx, np.random.default_rng(idx))
         b = ds_dev.get(idx, np.random.default_rng(idx))
+        # raw views cross the wire as uint8 (4x transfer cut, PERF.md r4)
+        assert a["im"].dtype == np.uint8 and b["im"].dtype == np.uint8
         np.testing.assert_array_equal(a["im"], b["im"])
         np.testing.assert_array_equal(a["label"], b["label"])
         np.testing.assert_array_equal(a["label_flip"], b["label_flip"])
@@ -142,13 +147,14 @@ def test_device_views_dataset_equivalence(tmp_path, rng):
         np.testing.assert_array_equal(a["shape"], b["shape"])
         # host rot label pins r = rot_sign * 15 on the same stream
         assert b["rot_sign"] in (-1.0, 1.0)
+        a_im = np.asarray(dewire(jnp.asarray(a["im"])))
         views = np.asarray(synthesize_views(
-            jnp.asarray(b["im"][None]), jnp.asarray([b["rot_sign"]])))
+            dewire(jnp.asarray(b["im"][None])), jnp.asarray([b["rot_sign"]])))
         # base view exact; flip view exact whenever the base view has no
         # asymmetric letterbox padding (fixture bboxes vary, so compare the
         # canvas mirror, which is what the device builds by construction)
-        np.testing.assert_array_equal(views[0], a["im"])
-        np.testing.assert_array_equal(views[1], a["im"][:, ::-1, :])
+        np.testing.assert_array_equal(views[0], a_im)
+        np.testing.assert_array_equal(views[1], a_im[:, ::-1, :])
 
 
 def test_kd_crd_step_device_views_runs(rng):
@@ -177,6 +183,50 @@ def test_kd_crd_step_device_views_runs(rng):
     new_state, metrics = step(state, tv, batch)
     assert np.isfinite(float(metrics["loss"]))
     assert int(new_state.step) == 1
+
+
+def test_kd_crd_step_u8_wire_identity(rng):
+    """A uint8-wire batch produces the same loss and synthesized views as
+    its f32 [0,1] equivalent up to the 1-ULP dewire rounding (see
+    test_u8_wire_dewire_1ulp). Post-Adam params are deliberately NOT
+    compared: at step 1 Adam's m/(sqrt(v)+eps) is O(1) for ANY nonzero
+    grad, so a 1-ULP grad perturbation where the true grad ~ 0 legitimately
+    becomes an O(lr) param delta — an optimizer property, not a wire bug."""
+    from pose3d_tpu.models import BaselineEstimator, PoseEstimator
+    from pose3d_tpu.train import create_train_state, torch_style_adam
+    from pose3d_tpu.train import steps as steps_lib
+
+    n, img, pts = 4, 32, 32
+    student = BaselineEstimator(img_feature_dim=64)
+    teacher = PoseEstimator(shape="PointCloud", img_feature_dim=64,
+                            shape_feature_dim=64)
+    im_u8 = rng.integers(0, 256, (n, img, img, 3)).astype(np.uint8)
+    im_f32 = np.asarray(im_u8, np.float32) / 255.0
+    pc = jnp.asarray(rng.random((n, pts, 3)).astype(np.float32))
+    lab = jnp.asarray(np.stack([rng.integers(0, 360, n),
+                                rng.integers(0, 180, n),
+                                rng.integers(0, 360, n)], 1).astype(np.int32))
+    f32_ex = jnp.asarray(im_f32[:1])
+    tv = teacher.init(jax.random.key(1), f32_ex, pc[:1], train=False)
+    state = create_train_state(student, (f32_ex,), jax.random.key(2),
+                               torch_style_adam(1e-3))
+    step = jax.jit(steps_lib.make_kd_crd_step(student, teacher,
+                                              device_views=True))
+    base = {"shape": pc, "label": lab, "label_flip": lab, "label_rot": lab,
+            "rot_sign": jnp.asarray(np.array([1, -1, 1, -1], np.float32))}
+    s_u8, m_u8 = step(state, tv, {**base, "im": jnp.asarray(im_u8)})
+    s_f32, m_f32 = step(state, tv, {**base, "im": jnp.asarray(im_f32)})
+    np.testing.assert_allclose(np.asarray(m_u8["loss"]),
+                               np.asarray(m_f32["loss"]), rtol=1e-5)
+    assert int(s_u8.step) == int(s_f32.step) == 1
+
+    from pose3d_tpu.ops.augment import dewire, synthesize_views
+
+    views_u8 = np.asarray(synthesize_views(dewire(jnp.asarray(im_u8)),
+                                           base["rot_sign"]))
+    views_f32 = np.asarray(synthesize_views(jnp.asarray(im_f32),
+                                            base["rot_sign"]))
+    np.testing.assert_allclose(views_u8, views_f32, atol=1.2e-7)
 
 
 def _pointnet_params(rng, feature_dim=256):
