@@ -169,17 +169,28 @@ def _bench_kd_step(args) -> dict:
         sstate, m = kstep(sstate, tv, batch)
         np.asarray(m["loss"])
 
-    # measurement protocol (docs/PERF.md round 3): --repeats>1 runs R timing
-    # windows and reports the MEDIAN window, plus the spread and a chip-load
-    # proxy, so a single pass/fail number survives multi-tenant noise
-    runs = []
-    for _ in range(max(args.repeats, 1)):
+    # measurement protocol (docs/PERF.md round 3, slope refinement round 4):
+    # --repeats>1 runs R timing samples and reports the MEDIAN, plus the
+    # spread and a chip-load proxy, so a single pass/fail number survives
+    # multi-tenant noise. Each sample is the SLOPE between a `steps`- and a
+    # `3*steps`-step sync window — the axon tunnel adds a ~35 ms fixed
+    # pipeline-fill per sync window (the same artifact the contention proxy
+    # cancels the same way) which a single-window mean smears over the
+    # steps (~0.9 ms/step at 40-step windows = ~1.3% on this step). The
+    # slope is the true back-to-back device step time; corroborated by the
+    # profiler op-time sums (docs/PERF.md round 4).
+    def window(n):
+        nonlocal sstate
         t0 = time.perf_counter()
-        for _ in range(args.steps):
+        for _ in range(n):
             sstate, m = kstep(sstate, tv, batch)
         np.asarray(m["loss"])
-        dt = time.perf_counter() - t0
-        runs.append(bk * args.steps / dt)
+        return time.perf_counter() - t0
+
+    runs = []
+    for _ in range(max(args.repeats, 1)):
+        dt = (window(3 * args.steps) - window(args.steps)) / (2 * args.steps)
+        runs.append(bk / dt)
 
     samples_per_s = float(np.median(runs))
     dt_step = bk / samples_per_s
@@ -198,6 +209,7 @@ def _bench_kd_step(args) -> dict:
         out["protocol"] = {
             "repeats": args.repeats,
             "steps_per_window": args.steps,
+            "window_pair": [args.steps, 3 * args.steps],  # slope cancels fill
             "runs_samples_per_s": [round(r, 1) for r in runs],
             "spread_pct": round(100 * (max(runs) - min(runs)) / samples_per_s, 2),
             "contention_proxy": round(_contention_proxy(), 3),
@@ -245,13 +257,18 @@ def _bench_student_infer(args) -> dict:
     for _ in range(args.warmup):
         np.asarray(infer(variables, im))
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        out = infer(variables, im)
-    np.asarray(out)
-    dt = time.perf_counter() - t0
+    # two-window slope: cancels the tunnel's fixed per-window pipeline fill
+    # (same protocol as the kd_step metric / run_all.py; at bs 256 the fill
+    # was depressing this number by ~4% vs the profiler's device time)
+    def window(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = infer(variables, im)
+        np.asarray(out)
+        return time.perf_counter() - t0
 
-    img_per_s = args.batch * args.steps / dt
+    dt = (window(3 * args.steps) - window(args.steps)) / (2 * args.steps)
+    img_per_s = args.batch / dt
     name = ("student_infer_int8_img_per_s"
             if args.metric == "student_infer_int8" else
             "student_infer_img_per_s")

@@ -87,6 +87,26 @@ def build_step(piece: str, bk: int, img: int):
             return state, m["loss"]
 
         return run, tstate
+    if piece == "stage1_step":
+        # run_all.py row 5: both models train (base_class.py:451-569), bs 46
+        from pose3d_tpu.models import PoseEstimatorVanilla
+
+        vanilla = PoseEstimatorVanilla(shape="PointCloud", img_feature_dim=1024,
+                                       shape_feature_dim=1024,
+                                       dtype=jnp.bfloat16)
+        vstate = create_train_state(vanilla, (im[:1], pc[:1]),
+                                    jax.random.key(4), torch_style_adam(1e-4))
+        s1state = create_train_state(student, (im[:1],), jax.random.key(5),
+                                     torch_style_adam(1e-4))
+        batch = {"im": im, "shape": pc, "label": label}
+        s1step = jax.jit(steps_lib.make_stage1_step(vanilla, student),
+                         donate_argnums=(0, 1))
+
+        def run(state):
+            vs, ss, m = s1step(state[0], state[1], batch)
+            return (vs, ss), m["loss"]
+
+        return run, (vstate, s1state)
     if piece == "student_fwdbwd":
         b3 = 3 * bk
         im3 = jnp.concatenate([im] * 3, axis=0)
@@ -117,7 +137,8 @@ def build_step(piece: str, bk: int, img: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--piece", default="kd_step",
-                    choices=["kd_step", "student_fwdbwd", "teacher_step",
+                    choices=["kd_step", "student_fwdbwd", "stage1_step",
+                             "teacher_step",
                              "teacher_step_fused"])
     ap.add_argument("--batch", type=int, default=46)
     ap.add_argument("--img", type=int, default=224)

@@ -37,13 +37,27 @@ def _sync(x):
 
 
 def _time(fn, *args, steps=10):
+    """Per-step device time via the two-window slope: time a `steps`-step
+    and a `3*steps`-step sync window and divide the difference by the extra
+    steps. The axon tunnel adds a ~35 ms fixed pipeline-fill per sync window
+    (PERF.md round-3 protocol note) which a single-window mean smears over
+    the steps — at 10-step windows that inflated every fast train-step row
+    by ~3.5 ms/step (stage-1 by ~9%). The slope cancels the fixed cost
+    exactly, same technique as bench.py's contention proxy."""
     out = fn(*args)
     _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / steps
+
+    def window(n):
+        t0 = time.perf_counter()
+        o = out
+        for _ in range(n):
+            o = fn(*args)
+        _sync(o)
+        return time.perf_counter() - t0
+
+    t1 = window(steps)
+    t2 = window(3 * steps)
+    return (t2 - t1) / (2 * steps)
 
 
 def emit(metric, value, unit, baseline=None, **extra):
