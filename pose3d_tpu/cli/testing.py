@@ -68,7 +68,7 @@ def build_eval_dataset(opt):
     raise SystemExit(f"unsupported dataset {opt.dataset}")
 
 
-def _int8_eval_step(opt, model, kind, variables, dataset):
+def _int8_eval_step(opt, model, kind, variables, dataset, mesh=None):
     """Build an evaluate_categories-compatible eval step that runs the
     quantized serving forward (same metric surface as make_eval_step minus
     the contrastive val loss). The quantized pytree is passed as a jit
@@ -122,6 +122,14 @@ def _int8_eval_step(opt, model, kind, variables, dataset):
             return {"pred": preds, "loss": jnp.mean(per),
                     "per_sample_loss": per}
 
+    # place the quantized pytree once (replicated over the DP mesh when eval
+    # is sharded) — passing host numpy arrays would re-transfer it every batch
+    if mesh is not None:
+        from pose3d_tpu.parallel import replicate
+
+        q = replicate(q, mesh)
+    else:
+        q = jax.device_put(q)
     jstep = jax.jit(raw)
     return lambda v, b: jstep(q, v, b)
 
@@ -160,14 +168,30 @@ def main(argv=None):
     logname = os.path.join(predictions_path, "testing_log.txt")
     open(logname, "w").write("\n")
 
+    # dataset-scale eval runs data-parallel over all devices, exactly like
+    # the trainers: non-dividing tail batches are PADDED (replicated rows
+    # marked invalid and dropped from every statistic) rather than shrinking
+    # the mesh. Single-device (and the reference's single-GPU testing.py
+    # flow, testing.py:40-60) is the mesh=None degenerate case.
+    mesh = common.make_dp_mesh(opt)
+
     if opt.int8:
-        eval_step = _int8_eval_step(opt, model, kind, variables, dataset)
+        eval_step = _int8_eval_step(opt, model, kind, variables, dataset, mesh)
     else:
         eval_step = jax.jit(steps_lib.make_eval_step(model, kind, opt.bin_size))
 
+    if mesh is not None:
+        from pose3d_tpu.parallel import replicate
+
+        variables = replicate(variables, mesh)
+
+    from pose3d_tpu.train.trainer import device_batch
+
     def batches():
         for b in loader:
-            yield b
+            host = {k: v for k, v in b.items() if k != "valid"}
+            db, hv = device_batch(host, b.get("valid"), mesh)
+            yield {**db, "valid": hv}
 
     result = evaluate_categories(eval_step, variables, batches(),
                                  dataset.category_names)

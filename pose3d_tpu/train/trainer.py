@@ -60,6 +60,12 @@ def _device_batch(batch: dict, valid, mesh) -> tuple[dict, "np.ndarray"]:
     return batch, valid
 
 
+# public name: the standalone eval CLIs (cli/testing.py) reuse the exact
+# pad+shard+place policy the trainers use, so dataset-scale serving eval
+# scales over the same DP mesh as training
+device_batch = _device_batch
+
+
 def _strip(batch: dict, keys) -> dict:
     return {k: batch[k] for k in keys if k in batch}
 

@@ -203,6 +203,30 @@ def test_testing_cli_linemod(tmp_path):
     assert len(result.per_category_acc) == 2  # obj 1 and 2
 
 
+def test_testing_cli_dp_mesh_matches_single_device(tmp_path):
+    """Dataset-scale eval sharded over the 8-device DP mesh must reproduce
+    the single-device result exactly — padded tail rows (fixture size does
+    not divide 8) are masked out of every statistic, and the per-category
+    reduction happens on gathered host arrays either way."""
+    from pose3d_tpu.cli import testing
+    from pose3d_tpu.data import synthetic
+
+    root = tmp_path / "data" / "LineMod"
+    synthetic.make_linemod_fixture(str(root))
+    args = ["--dataset", "LineMod", "--shape", "None", "--data_root",
+            str(tmp_path / "data"), "--batch_size", "6", "--workers", "0",
+            "--input_dim", "32", "--img_feature_dim", "32"]
+    one = testing.main(args + ["--output_dir", str(tmp_path / "p1"),
+                               "--n_devices", "1"])
+    dp = testing.main(args + ["--output_dir", str(tmp_path / "p8")])
+    assert set(dp.per_category_acc) == set(one.per_category_acc)
+    for cat in one.per_category_acc:
+        assert dp.per_category_acc[cat] == one.per_category_acc[cat]
+        assert abs(dp.per_category_med[cat] - one.per_category_med[cat]) < 1e-3
+    np.testing.assert_allclose(dp.predictions, one.predictions, atol=1e-3)
+    assert abs(dp.sample_med - one.sample_med) < 1e-3
+
+
 def test_testing_cli_int8(data_root, tmp_path):
     """--int8 on the testing CLI: dataset-scale eval through the PTQ serving
     path (student kind here), same per-category surface; Acc/Med must track
