@@ -64,6 +64,46 @@ def _slope_ms(fn, *args, steps=20):
     return (t2 - t1) / (2 * steps) * 1000.0
 
 
+def _trace_device_ms(fn, *args, steps=20):
+    """Per-call device-busy ms from a jax.profiler xplane trace — the ground
+    truth the slope protocol approximates. At tiny batch the slope measures
+    dispatch-enqueue rate instead of device time (back-to-back dispatches
+    pipeline completely once device work < enqueue cost), so small-batch
+    rows should quote this number. Parse approach per
+    benchmarks/profile_kd_step.py (the tensorboard converters in this image
+    are broken; read the proto with tensorflow's generated schema)."""
+    import glob
+    import tempfile
+
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except Exception:
+        return None
+    d = tempfile.mkdtemp(prefix="pose3d_lat_prof_")
+    _sync(fn(*args))
+    jax.profiler.start_trace(d)
+    o = None
+    for _ in range(steps):
+        o = fn(*args)
+    _sync(o)
+    jax.profiler.stop_trace()
+    paths = glob.glob(os.path.join(d, "**", "*.xplane.pb"), recursive=True)
+    if not paths:
+        return None
+    xs = xplane_pb2.XSpace()
+    with open(paths[0], "rb") as f:
+        xs.ParseFromString(f.read())
+    planes = [p for p in xs.planes if p.name.startswith("/device:TPU")]
+    if not planes:
+        return None
+    tot_ps = 0
+    for line in planes[0].lines:
+        if "Ops" not in line.name or "Async" in line.name:
+            continue
+        tot_ps += sum(e.duration_ps for e in line.events)
+    return tot_ps / 1e9 / steps
+
+
 def _roundtrip_ms(fn, *args, reps=15):
     ts = []
     for _ in range(reps):
@@ -79,6 +119,10 @@ def main(argv=None):
                     default=[1, 4, 16, 64, 256])
     ap.add_argument("--width_mult", type=float, default=1.0)
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--profile", action="store_true",
+                    help="also report trace-derived device-busy ms "
+                         "(trustworthy at tiny batch where the slope is "
+                         "enqueue-bound)")
     args = ap.parse_args(argv)
 
     from pose3d_tpu import geometry
@@ -113,12 +157,17 @@ def main(argv=None):
                             ("int8", infer_int8, q)):
             dev = _slope_ms(fn, v, im, steps=args.steps)
             rt = _roundtrip_ms(fn, v, im)
-            print(json.dumps({
+            row = {
                 "metric": "serving_latency", "path": path, "batch": bs,
                 "width_mult": args.width_mult,
                 "device_ms": round(dev, 3),
                 "roundtrip_ms": round(rt, 2),
-                "img_per_s": round(bs / dev * 1000.0, 1)}), flush=True)
+                "img_per_s": round(bs / dev * 1000.0, 1)}
+            if args.profile:
+                tms = _trace_device_ms(fn, v, im, steps=args.steps)
+                if tms is not None:
+                    row["trace_device_ms"] = round(tms, 3)
+            print(json.dumps(row), flush=True)
 
 
 if __name__ == "__main__":
