@@ -62,15 +62,26 @@ def build_fixture(n_per_cat: int) -> str:
 
 
 def loader_only_rate(data_root: str, bs: int, workers: int,
-                     timed_batches: int) -> float:
-    """Host ceiling: shm loader alone on the same fixture, no device."""
+                     timed_batches: int, cache_mb: float = 0.0,
+                     loader: str = "shm") -> float:
+    """Host ceiling: shm loader alone on the same fixture, no device.
+
+    With cache_mb > 0 the 3 warm batches under-represent the steady-state
+    rate (the per-worker cache ramps as 1-((W-1)/W)^epoch); the timed window
+    spans multiple epochs, so the reported number is the ramping average —
+    the matching trainingKD run below sees the same ramp per-epoch."""
     from pose3d_tpu.data import datasets, shm_loader
 
     ds = datasets.Pascal3DContrast(
         os.path.join(data_root, "ObjectNet3D"), "ObjectNet3D.txt", train=True,
         shape="PointCloud", shape_dir="pointcloud", point_num=2500,
-        input_dim=224, device_views=True)
-    dl = shm_loader.ShmDataLoader(ds, bs, shuffle=True, num_workers=workers)
+        input_dim=224, device_views=True, decode_cache_mb=cache_mb)
+    if loader == "thread":
+        from pose3d_tpu.data.loader import DataLoader
+
+        dl = DataLoader(ds, bs, shuffle=True, num_workers=workers)
+    else:
+        dl = shm_loader.ShmDataLoader(ds, bs, shuffle=True, num_workers=workers)
     try:
         def epochs():
             e = 0
@@ -91,7 +102,8 @@ def loader_only_rate(data_root: str, bs: int, workers: int,
 
 
 def run_cli(data_root: str, bs: int, workers: int, epochs: int,
-            profile_dir: str | None) -> str:
+            profile_dir: str | None, cache_mb: float = 0.0,
+            loader: str = "shm") -> str:
     result_dir = os.path.join(WORK, "result")
     shutil.rmtree(result_dir, ignore_errors=True)
     cmd = [sys.executable, "-m", "pose3d_tpu.cli.trainingKD",
@@ -99,9 +111,11 @@ def run_cli(data_root: str, bs: int, workers: int, epochs: int,
            "--dataset", "ObjectNet3D", "--data_root", data_root,
            "--shape", "PointCloud", "--shape_dir", "pointcloud",
            "--batch_size", str(bs), "--workers", str(workers),
-           "--loader", "shm", "--device_views",
+           "--loader", loader, "--device_views",
            "--n_epoch", str(epochs), "--decrease", str(epochs),
            "--result_dir", result_dir]
+    if cache_mb:
+        cmd += ["--cache_decoded_mb", str(cache_mb)]
     if profile_dir:
         cmd += ["--profile_dir", profile_dir]
     env = dict(os.environ)
@@ -132,6 +146,14 @@ def main() -> None:
                     help="reuse a known host-ceiling number instead of "
                          "re-measuring (pass --host_ceiling)")
     ap.add_argument("--host_ceiling", type=float, default=None)
+    ap.add_argument("--cache_mb", type=float, default=0.0,
+                    help="decoded-image cache budget per worker "
+                         "(--cache_decoded_mb); epochs >= 2 skip decode")
+    ap.add_argument("--loader", type=str, default="shm",
+                    choices=["thread", "shm"],
+                    help="loader backend; with --cache_mb the thread "
+                         "loader's ONE shared cache hits fully from epoch 2 "
+                         "while shm workers each ramp their own")
     args = ap.parse_args()
     if args.quick:
         args.epochs, args.n_per_cat = 3, 120
@@ -144,13 +166,16 @@ def main() -> None:
         host = args.host_ceiling
     else:
         host = loader_only_rate(data_root, args.batch_size, args.workers,
-                                timed_batches=max(6, n_train // args.batch_size))
+                                timed_batches=max(6, n_train // args.batch_size),
+                                cache_mb=args.cache_mb, loader=args.loader)
     print(json.dumps({"metric": "loader_only_samples_per_s",
                       "value": round(host, 1), "workers": args.workers,
-                      "device_views": True}), flush=True)
+                      "device_views": True, "cache_mb": args.cache_mb,
+                      "loader": args.loader}), flush=True)
 
     metrics_path = run_cli(data_root, args.batch_size, args.workers,
-                           args.epochs, args.profile_dir)
+                           args.epochs, args.profile_dir, cache_mb=args.cache_mb,
+                           loader=args.loader)
 
     rows = [json.loads(l) for l in open(metrics_path)]
     epoch_rows = [r for r in rows if r.get("kind") == "crd_epoch"]

@@ -67,6 +67,11 @@ def add_common_flags(parser: argparse.ArgumentParser) -> None:
                         help="bfloat16 compute dtype (TPU MXU fast path)")
     parser.add_argument("--n_devices", type=int, default=None,
                         help="data-parallel device count (default: all local)")
+    parser.add_argument("--cache_decoded_mb", type=float, default=0.0,
+                        help="LRU-cache decoded images up to this many MB per "
+                             "loader process so epochs >= 2 skip JPEG decode "
+                             "(exact; 0 = off = reference behavior). See "
+                             "data/decode_cache.py")
 
 
 def make_train_loader(dataset, opt, *, seed: int = MANUAL_SEED):
@@ -148,7 +153,8 @@ def build_train_eval_datasets(opt, contrast_eval: bool = False):
     root_dir = os.path.join(opt.data_root, opt.dataset)
     annotation_file = f"{opt.dataset}.txt"
     common = dict(shape=opt.shape, shape_dir=opt.shape_dir, view_num=opt.view_num,
-                  tour=opt.tour, input_dim=opt.input_dim, point_num=opt.point_num)
+                  tour=opt.tour, input_dim=opt.input_dim, point_num=opt.point_num,
+                  decode_cache_mb=getattr(opt, "cache_decoded_mb", 0.0))
 
     if opt.dataset == "ObjectNet3D":
         cats = OBJECTNET3D_TEST_CATS
@@ -179,7 +185,8 @@ def build_train_eval_datasets(opt, contrast_eval: bool = False):
             cat_choice=["2818832", "2871439", "2933112", "3001627", "4256520",
                         "4379243"],
             novel=opt.novel, shape=opt.shape, shape_dir=opt.shape_dir,
-            view_num=opt.view_num, tour=opt.tour, random_range=opt.random_range)
+            view_num=opt.view_num, tour=opt.tour, random_range=opt.random_range,
+            decode_cache_mb=getattr(opt, "cache_decoded_mb", 0.0))
         dataset_eval = datasets.Pix3D(
             os.path.join(opt.data_root, "Pix3D"), "Pix3D.txt", shape=opt.shape,
             view_num=opt.view_num, tour=opt.tour)
@@ -211,7 +218,8 @@ def build_kd_datasets(opt):
     root_dir = os.path.join(opt.data_root, opt.dataset)
     annotation_file = f"{opt.dataset}.txt"
     common = dict(shape=opt.shape, shape_dir=opt.shape_dir, view_num=opt.view_num,
-                  tour=opt.tour, input_dim=opt.input_dim, point_num=opt.point_num)
+                  tour=opt.tour, input_dim=opt.input_dim, point_num=opt.point_num,
+                  decode_cache_mb=getattr(opt, "cache_decoded_mb", 0.0))
     three_view = opt.contrast or opt.crd or opt.stage == 2
 
     if opt.dataset in ("ObjectNet3D", "Pascal3D"):

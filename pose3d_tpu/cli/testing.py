@@ -58,7 +58,8 @@ def build_eval_dataset(opt):
             keypoint=opt.dataset == "Pascal3D", shape=opt.shape,
             shape_dir=opt.shape_dir, view_num=opt.view_num, tour=opt.tour,
             random_model=opt.random_model, input_dim=opt.input_dim,
-            point_num=opt.point_num)
+            point_num=opt.point_num,
+            decode_cache_mb=getattr(opt, "cache_decoded_mb", 0.0))
     if opt.dataset == "LineMod":
         return datasets.Linemod(root_dir, annotation_file, cat_choice=cats,
                                 shape=opt.shape, input_dim=opt.input_dim)

@@ -31,12 +31,20 @@ import numpy as np
 from PIL import Image
 
 from pose3d_tpu.data import annotations as anno
+from pose3d_tpu.data import decode_cache
 from pose3d_tpu.data import ply
 from pose3d_tpu.data import transforms as T
 
 
 def _load_rgb(path: str) -> Image.Image:
     return Image.open(path).convert("RGB")
+
+
+def _sorted_listdir(memo: dict, path: str) -> list[str]:
+    names = memo.get(path)
+    if names is None:
+        names = memo[path] = sorted(os.listdir(path))
+    return names
 
 
 def _finalize(im: Image.Image, rng, train: bool, contrast: bool,
@@ -69,7 +77,7 @@ class _PascalBase:
     """Shared plumbing: category ids, multiview/pointcloud shape loading."""
 
     def __init__(self, root_dir, frame, shape, shape_dir, view_num, tour,
-                 point_num, input_dim):
+                 point_num, input_dim, decode_cache_mb=0.0):
         self.root_dir = root_dir
         self.frame = frame
         self.shape = shape
@@ -78,6 +86,11 @@ class _PascalBase:
         self.tour = tour
         self.point_num = point_num
         self.input_dim = input_dim
+        # decode_cache_mb > 0: LRU-cache decoded images so epochs >= 2 skip
+        # JPEG decode (exact — see data/decode_cache.py). MultiView renders
+        # are the hottest keys: few hundred distinct files reused every epoch.
+        self.cache = decode_cache.make(decode_cache_mb)
+        self._names_memo: dict[str, list[str]] = {}
         self.category_names = sorted(np.unique(frame.cat).tolist()) if len(frame) else []
         self._cat_to_id = {c: i for i, c in enumerate(self.category_names)}
 
@@ -96,11 +109,11 @@ class _PascalBase:
         if self.shape == "MultiView":
             render_dir = os.path.join(self.root_dir, self.shape_dir, str(cat),
                                       "%02d" % int(cad_index), "crop")
-            names = sorted(os.listdir(render_dir))
+            names = _sorted_listdir(self._names_memo, render_dir)
             ids = T.multiview_ids(self.view_num, self.tour, mutation)
             renders = []
             for i in ids:
-                im = _load_rgb(os.path.join(render_dir, names[i]))
+                im = self.cache.open_rgb(os.path.join(render_dir, names[i]))
                 if self.input_dim != 224:
                     im = im.resize((self.input_dim, self.input_dim), Image.BILINEAR)
                 renders.append(T.to_float_array(im))
@@ -114,13 +127,15 @@ class Pascal3D(_PascalBase):
     def __init__(self, root_dir, annotation_file, input_dim=224, shape="MultiView",
                  shape_dir="Renders_semi_sphere", random=False, novel=True,
                  keypoint=True, train=True, cat_choice=None, random_model=False,
-                 view_num=12, tour=2, random_range=0, point_num=2500, seed=None):
+                 view_num=12, tour=2, random_range=0, point_num=2500, seed=None,
+                 decode_cache_mb=0.0):
         frame = anno.pascal3d_frame(
             root_dir, annotation_file, train=train, keypoint=keypoint,
             novel=novel, cat_choice=cat_choice, seed=seed,
         )
         super().__init__(root_dir, frame, None if shape in (None, "None") else shape,
-                         shape_dir, view_num, tour, point_num, input_dim)
+                         shape_dir, view_num, tour, point_num, input_dim,
+                         decode_cache_mb=decode_cache_mb)
         self.train = train
         self.random = random
         self.random_range = random_range
@@ -136,7 +151,7 @@ class Pascal3D(_PascalBase):
         left, upper, right, lower = (row["left"], row["upper"], row["right"], row["lower"])
         label = row[anno.LABEL_COLS].to_numpy(dtype=np.float64)
 
-        im = _load_rgb(os.path.join(self.root_dir, row["im_path"]))
+        im = self.cache.open_rgb(os.path.join(self.root_dir, row["im_path"]))
         if self.train:
             if min(right - left, lower - upper) > 224 and rng.random() < 0.3:
                 im = T.gaussian_blur(im, 3)
@@ -186,14 +201,15 @@ class Pascal3DContrast(_PascalBase):
                  keypoint=True, train=True, cat_choice=None, random_model=False,
                  view_num=12, tour=2, random_range=0, point_num=2500, shot=None,
                  offset=0, train_cls=None, seed=None, host_augment=True,
-                 device_views=False):
+                 device_views=False, decode_cache_mb=0.0):
         frame = anno.pascal3d_frame(
             root_dir, annotation_file, train=train, keypoint=keypoint, novel=novel,
             cat_choice=cat_choice, train_cls=train_cls, shot=shot,
             contrast_val_keypoint=not train, seed=seed,
         )
         super().__init__(root_dir, frame, None if shape in (None, "None") else shape,
-                         shape_dir, view_num, tour, point_num, input_dim)
+                         shape_dir, view_num, tour, point_num, input_dim,
+                         decode_cache_mb=decode_cache_mb)
         self.train = train
         self.offset = offset
         self.random_model = random_model
@@ -224,7 +240,7 @@ class Pascal3DContrast(_PascalBase):
         left, upper, right, lower = (row["left"], row["upper"], row["right"], row["lower"])
         label = row[anno.LABEL_COLS].to_numpy(dtype=np.float64)
 
-        im = _load_rgb(os.path.join(self.root_dir, row["im_path"]))
+        im = self.cache.open_rgb(os.path.join(self.root_dir, row["im_path"]))
         cat_id = np.int32(self._cat_id(cat))
 
         if self.train:
@@ -301,6 +317,7 @@ class ShapeNet(_PascalBase):
 
     def __init__(self, root_dir, annotation_file, bg_dir, bg_list="SUN_database.txt",
                  input_dim=224, model_number=200, novel=False, shape="MultiView",
+                 decode_cache_mb=0.0,
                  shape_dir="Renders_semi_sphere", view_num=12, tour=2,
                  random_range=0, point_num=2500, cat_choice=None, train=True,
                  random=False):
@@ -311,7 +328,8 @@ class ShapeNet(_PascalBase):
                                     model_number=model_number)
         frame = frame.rename(columns={"cat_id": "cat"})
         super().__init__(root_dir, frame, None if shape in (None, "None") else shape,
-                         shape_dir, view_num, tour, point_num, input_dim)
+                         shape_dir, view_num, tour, point_num, input_dim,
+                         decode_cache_mb=decode_cache_mb)
         self.bg_dir = bg_dir
         self.bg_list = pd.read_csv(os.path.join(bg_dir, bg_list))
         self.train = train
@@ -323,7 +341,7 @@ class ShapeNet(_PascalBase):
         cat, example_id = row["cat"], row["example_id"]
         label = np.array([row["azimuth"], row["elevation"], 0.0], np.float64)
 
-        im_render = Image.open(os.path.join(self.root_dir, row["image_path"]))
+        im_render = self.cache.open_raw(os.path.join(self.root_dir, row["image_path"]))
         r = max(-45, min(45, rng.standard_normal() * 15))
         im_render = im_render.rotate(r)
         label[2] += r
@@ -332,7 +350,7 @@ class ShapeNet(_PascalBase):
         bg_path = os.path.join(self.bg_dir,
                                self.bg_list.iloc[int(rng.integers(len(self.bg_list))), 1])
         try:
-            bg = Image.open(bg_path).convert("RGB")
+            bg = self.cache.open_rgb(bg_path)
             if bg.size != im_render.size:
                 raise OSError
         except OSError:
@@ -380,9 +398,9 @@ class ShapeNet(_PascalBase):
             mutation = 0
         render_dir = os.path.join(self.root_dir, self.shape_dir, "%08d" % int(cat),
                                   str(example_id), "crop")
-        names = sorted(os.listdir(render_dir))
+        names = _sorted_listdir(self._names_memo, render_dir)
         ids = T.multiview_ids(self.view_num, self.tour, mutation)
-        renders = [T.to_float_array(_load_rgb(os.path.join(render_dir, names[i])))
+        renders = [T.to_float_array(self.cache.open_rgb(os.path.join(render_dir, names[i])))
                    for i in ids]
         sample["shape"] = np.stack(renders).astype(np.float32)
         return sample
@@ -408,8 +426,10 @@ class Pix3D:
 
     def __init__(self, root_dir, annotation_file, input_dim=224, shape="MultiView",
                  cat_choice=None, random_model=False,
-                 shape_dir="Renders_semi_sphere", view_num=12, tour=2):
+                 shape_dir="Renders_semi_sphere", view_num=12, tour=2,
+                 decode_cache_mb=0.0):
         self.root_dir = root_dir
+        self.cache = decode_cache.make(decode_cache_mb)
         self.frame = anno.pix3d_frame(root_dir, annotation_file, cat_choice)
         self.shape = None if shape in (None, "None") else shape
         self.shape_dir = shape_dir
@@ -426,7 +446,7 @@ class Pix3D:
     def get(self, idx: int, rng: np.random.Generator) -> dict[str, Any]:
         row = self.frame.iloc[idx]
         label = row[anno.LABEL_COLS].to_numpy(dtype=np.float64).astype(np.int64)
-        im = _load_rgb(os.path.join(self.root_dir, row["image_path"]))
+        im = self.cache.open_rgb(os.path.join(self.root_dir, row["image_path"]))
         if self.input_dim != 224 or im.size != (self.input_dim, self.input_dim):
             im = im.resize((self.input_dim, self.input_dim), Image.BILINEAR)
         arr = T.normalize_image(T.to_float_array(im))
@@ -438,8 +458,10 @@ class Linemod:
     """Eval-only LineMod loader (dataset.py:689-750)."""
 
     def __init__(self, root_dir, annotation_file, input_dim=224, shape="MultiView",
-                 cat_choice=None, shape_dir="Renders_semi_sphere", view_num=12, tour=2):
+                 cat_choice=None, shape_dir="Renders_semi_sphere", view_num=12, tour=2,
+                 decode_cache_mb=0.0):
         self.root_dir = root_dir
+        self.cache = decode_cache.make(decode_cache_mb)
         self.frame = anno.linemod_frame(root_dir, annotation_file, cat_choice)
         self.shape = None if shape in (None, "None") else shape
         self.input_dim = input_dim
@@ -453,7 +475,7 @@ class Linemod:
         row = self.frame.iloc[idx]
         x, y, w, h = row["x"], row["y"], row["w"], row["h"]
         label = row[anno.LABEL_COLS].to_numpy(dtype=np.float64)
-        im = _load_rgb(os.path.join(self.root_dir, row["image_path"]))
+        im = self.cache.open_rgb(os.path.join(self.root_dir, row["image_path"]))
         im = im.crop((x, y, x + w, y + h))
         im = T.resize_pad(im, self.input_dim)
         arr = T.normalize_image(T.to_float_array(im))
@@ -471,8 +493,9 @@ class Pix3DContrast:
     def __init__(self, root_dir, annotation_file, train=True, input_dim=224,
                  offset=0, shot=None, train_feat=False, cls_choice=None,
                  idx_choice=None, rot=0, train_cls=None, pose_batch=False,
-                 bs=32, seed=None):
+                 bs=32, seed=None, decode_cache_mb=0.0):
         self.root_dir = root_dir
+        self.cache = decode_cache.make(decode_cache_mb)
         self.input_dim = input_dim
         self.train = train
         self.offset = offset
@@ -512,7 +535,7 @@ class Pix3DContrast:
         cls_name = row["cls_name"]
         left, upper, right, lower = row["left"], row["upper"], row["right"], row["lower"]
         label = row[anno.LABEL_COLS].to_numpy(dtype=np.float64)
-        im = _load_rgb(os.path.join(self.root_dir, row["im_path"]))
+        im = self.cache.open_rgb(os.path.join(self.root_dir, row["im_path"]))
         cat_id = np.int32(self._cat_to_id.get(cls_name, -1))
 
         if self.train:

@@ -446,3 +446,98 @@ def test_prefetcher_order_and_exceptions():
     with _pytest.raises(RuntimeError, match="host pipeline died"):
         for _ in range(4):
             next(it)
+
+
+# ----------------------------- decode cache ---------------------------------
+
+
+def test_decode_cache_exact_across_epochs(fixture_root):
+    """Caching decoded images is exact: identical samples to the uncached
+    dataset over two epochs (decode is deterministic; every downstream PIL op
+    returns a new image), with the second epoch served from cache."""
+    kw = dict(train=True, shape="PointCloud", shape_dir="pointcloud",
+              point_num=64, input_dim=64)
+    base = datasets.Pascal3DContrast(fixture_root, "ObjectNet3D.txt", **kw)
+    cached = datasets.Pascal3DContrast(fixture_root, "ObjectNet3D.txt",
+                                       decode_cache_mb=64, **kw)
+    for epoch in range(2):
+        for idx in range(len(base)):
+            a = base.get(idx, np.random.default_rng((46, epoch, idx)))
+            b = cached.get(idx, np.random.default_rng((46, epoch, idx)))
+            assert set(a) == set(b)
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]), err_msg=k)
+    st = cached.cache.stats()
+    assert st["hits"] > 0 and st["items"] > 0
+    # epoch 2 decoded nothing new
+    assert st["misses"] == len(base)
+
+
+def test_decode_cache_multiview_renders(tmp_path):
+    """MultiView renders are the hottest cache keys: after one sample the
+    next hits entirely (fixture renders fit the budget)."""
+    root = str(tmp_path / "o3d")
+    synthetic.make_objectnet3d_fixture(root, categories=("bed",),
+                                       n_train_per_cat=2, n_val_per_cat=1,
+                                       with_renders=True, n_renders=144,
+                                       render_size=24)
+    kw = dict(train=True, shape="MultiView", view_num=12, tour=2, input_dim=24)
+    base = datasets.Pascal3DContrast(root, "ObjectNet3D.txt", **kw)
+    cached = datasets.Pascal3DContrast(root, "ObjectNet3D.txt",
+                                       decode_cache_mb=64, **kw)
+    for idx in range(2):
+        a = base.get(idx, np.random.default_rng((1, 0, idx)))
+        b = cached.get(idx, np.random.default_rng((1, 0, idx)))
+        np.testing.assert_array_equal(a["shape"], b["shape"])
+        np.testing.assert_array_equal(a["im"], b["im"])
+
+
+def test_decode_cache_lru_byte_cap(tmp_path):
+    from PIL import Image
+
+    from pose3d_tpu.data import decode_cache
+
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"im{i}.png")
+        Image.fromarray(
+            np.full((100, 100, 3), i * 10, np.uint8)).save(p)
+        paths.append(p)
+    # each decoded image is 100*100*3 = 30000 B; cap fits exactly two
+    cache = decode_cache.DecodeCache(60000 / (1 << 20))
+    for p in paths:
+        cache.open_rgb(p)
+    st = cache.stats()
+    assert st["items"] == 2 and st["mb"] * (1 << 20) <= 60000
+    # most-recent two are resident: re-opening them adds no miss
+    cache.open_rgb(paths[2]), cache.open_rgb(paths[3])
+    assert cache.stats()["misses"] == 4
+    # evicted one misses again
+    cache.open_rgb(paths[0])
+    assert cache.stats()["misses"] == 5
+    # an image larger than the whole budget is served uncached, not stored
+    big = str(tmp_path / "big.png")
+    Image.fromarray(np.zeros((200, 200, 3), np.uint8)).save(big)
+    im = decode_cache.DecodeCache(30000 / (1 << 20)).open_rgb(big)
+    assert im.size == (200, 200)
+
+
+def test_decode_cache_pickles_empty(fixture_root):
+    """ShmDataLoader pickles the dataset to spawn workers: the cache must
+    cross as capacity-only (decoded buffers never enter the pipe)."""
+    import pickle
+
+    ds = datasets.Pascal3DContrast(
+        fixture_root, "ObjectNet3D.txt", train=True, shape=None, input_dim=64,
+        decode_cache_mb=32)
+    ds.get(0, np.random.default_rng(0))
+    assert ds.cache.stats()["items"] > 0
+    clone = pickle.loads(pickle.dumps(ds))
+    assert clone.cache.capacity_mb == 32
+    assert clone.cache.stats() == {"items": 0, "mb": 0.0, "hits": 0, "misses": 0}
+    # and the clone still produces identical samples
+    a = ds.get(1, np.random.default_rng(7))
+    b = clone.get(1, np.random.default_rng(7))
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
