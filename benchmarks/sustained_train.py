@@ -63,7 +63,7 @@ def build_fixture(n_per_cat: int) -> str:
 
 def loader_only_rate(data_root: str, bs: int, workers: int,
                      timed_batches: int, cache_mb: float = 0.0,
-                     loader: str = "shm") -> float:
+                     loader: str = "shm", device_shapes: bool = False) -> float:
     """Host ceiling: shm loader alone on the same fixture, no device.
 
     With cache_mb > 0 the 3 warm batches under-represent the steady-state
@@ -75,7 +75,8 @@ def loader_only_rate(data_root: str, bs: int, workers: int,
     ds = datasets.Pascal3DContrast(
         os.path.join(data_root, "ObjectNet3D"), "ObjectNet3D.txt", train=True,
         shape="PointCloud", shape_dir="pointcloud", point_num=2500,
-        input_dim=224, device_views=True, decode_cache_mb=cache_mb)
+        input_dim=224, device_views=True, decode_cache_mb=cache_mb,
+        device_shapes=device_shapes)
     if loader == "thread":
         from pose3d_tpu.data.loader import DataLoader
 
@@ -103,7 +104,7 @@ def loader_only_rate(data_root: str, bs: int, workers: int,
 
 def run_cli(data_root: str, bs: int, workers: int, epochs: int,
             profile_dir: str | None, cache_mb: float = 0.0,
-            loader: str = "shm") -> str:
+            loader: str = "shm", device_shapes: bool = False) -> str:
     result_dir = os.path.join(WORK, "result")
     shutil.rmtree(result_dir, ignore_errors=True)
     cmd = [sys.executable, "-m", "pose3d_tpu.cli.trainingKD",
@@ -116,6 +117,8 @@ def run_cli(data_root: str, bs: int, workers: int, epochs: int,
            "--result_dir", result_dir]
     if cache_mb:
         cmd += ["--cache_decoded_mb", str(cache_mb)]
+    if device_shapes:
+        cmd += ["--device_shapes"]
     if profile_dir:
         cmd += ["--profile_dir", profile_dir]
     env = dict(os.environ)
@@ -154,6 +157,9 @@ def main() -> None:
                     help="loader backend; with --cache_mb the thread "
                          "loader's ONE shared cache hits fully from epoch 2 "
                          "while shm workers each ramp their own")
+    ap.add_argument("--device_shapes", action="store_true",
+                    help="device-resident cloud bank (ops/shape_bank.py): "
+                         "3 scalars/sample on the wire instead of the cloud")
     args = ap.parse_args()
     if args.quick:
         args.epochs, args.n_per_cat = 3, 120
@@ -167,15 +173,17 @@ def main() -> None:
     else:
         host = loader_only_rate(data_root, args.batch_size, args.workers,
                                 timed_batches=max(6, n_train // args.batch_size),
-                                cache_mb=args.cache_mb, loader=args.loader)
+                                cache_mb=args.cache_mb, loader=args.loader,
+                                device_shapes=args.device_shapes)
     print(json.dumps({"metric": "loader_only_samples_per_s",
                       "value": round(host, 1), "workers": args.workers,
                       "device_views": True, "cache_mb": args.cache_mb,
-                      "loader": args.loader}), flush=True)
+                      "loader": args.loader,
+                      "device_shapes": args.device_shapes}), flush=True)
 
     metrics_path = run_cli(data_root, args.batch_size, args.workers,
                            args.epochs, args.profile_dir, cache_mb=args.cache_mb,
-                           loader=args.loader)
+                           loader=args.loader, device_shapes=args.device_shapes)
 
     rows = [json.loads(l) for l in open(metrics_path)]
     epoch_rows = [r for r in rows if r.get("kind") == "crd_epoch"]

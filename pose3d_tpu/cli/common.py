@@ -92,6 +92,26 @@ def make_train_loader(dataset, opt, *, seed: int = MANUAL_SEED):
     return DataLoader(dataset, **kw)
 
 
+def maybe_shape_bank(opt, dataset_train):
+    """--device_shapes: build the device-resident cloud bank
+    (ops/shape_bank.py) and flip the train dataset to 3-scalar emission.
+    Returns the ShapeBank (or None when the flag is off)."""
+    if not getattr(opt, "device_shapes", False):
+        return None
+    if opt.shape != "PointCloud":
+        raise SystemExit("--device_shapes requires --shape PointCloud")
+    if not hasattr(dataset_train, "device_shapes"):
+        raise SystemExit("--device_shapes: this dataset has no point-cloud "
+                         "bank support")
+    dataset_train.device_shapes = True
+    from pose3d_tpu.ops.shape_bank import ShapeBank
+
+    verts, counts = dataset_train.build_shape_bank()
+    print(f"shape bank: {verts.shape[0]} clouds x {verts.shape[1]} verts "
+          f"({verts.nbytes / (1 << 20):.1f} MB device-resident)")
+    return ShapeBank.from_arrays(verts, counts, opt.point_num)
+
+
 def normalize_shape(opt) -> None:
     if opt.shape == "None":
         opt.shape = None

@@ -43,6 +43,11 @@ def parse_args(argv=None):
                              "beyond — the >16-chip global-batch regime). "
                              "Identical math; XLA is the measured default "
                              "at the reference batch sizes (docs/PERF.md)")
+    parser.add_argument("--device_shapes", action="store_true",
+                        help="keep all point clouds device-resident "
+                             "(ops/shape_bank.py): the loader emits 3 scalars"
+                             " per sample and the train step gathers+samples "
+                             "the cloud on-device; PointCloud only")
     parser.add_argument("--device_augment", action="store_true",
                         help="run photometric augs + normalize on-device")
     opt = parser.parse_args(argv)
@@ -136,7 +141,9 @@ def main(argv=None):
                                  print_freq=opt.print_freq,
                                  cat_eval_loader=cat_eval_loader,
                                  device_augment=opt.device_augment,
-                                 use_fused_nce=opt.fused_nce)
+                                 use_fused_nce=opt.fused_nce,
+                                 shape_bank=common.maybe_shape_bank(
+                                     opt, dataset_train))
     trainer.profile_dir = opt.profile_dir
     start_epoch = 0
     if opt.resume:

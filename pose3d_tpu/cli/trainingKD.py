@@ -83,6 +83,11 @@ def parse_args(argv=None):
                              "(serving/quant_teacher.py); calibrated on the "
                              "first eval batch. A deliberate approximation "
                              "(~0.5%% teacher-logit error)")
+    parser.add_argument("--device_shapes", action="store_true",
+                        help="keep all point clouds device-resident "
+                             "(ops/shape_bank.py): the loader emits 3 scalars"
+                             " per sample and the train step gathers+samples "
+                             "the cloud on-device; PointCloud only")
     parser.add_argument("--device_views", action="store_true",
                         help="synthesize the flip/rot contrast views on-device"
                              " from ONE host-decoded crop (~3x less host work"
@@ -133,6 +138,7 @@ def main(argv=None):
             raise SystemExit("--device_views: this dataset emits no contrast "
                              "views")
         dataset_train.device_views = True
+    shape_bank = common.maybe_shape_bank(opt, dataset_train)
     # eval for the student path is RGB-only regardless of teacher shape
     train_loader = common.make_train_loader(dataset_train, opt)
     eval_loader = DataLoader(dataset_eval, opt.batch_size, shuffle=False,
@@ -180,7 +186,7 @@ def main(argv=None):
                             eval_loader, dataset_eval.category_names, result_path,
                             bin_size=opt.bin_size, temperature=opt.temperature,
                             tau=opt.tau, mesh=mesh, teacher_state=teacher_state,
-                            use_fused_nce=opt.fused_nce)
+                            use_fused_nce=opt.fused_nce, shape_bank=shape_bank)
         trainer.profile_dir = opt.profile_dir
         n = opt.n_epoch or EPOCHS["stage1"]
         start_epoch = 0
@@ -243,7 +249,8 @@ def main(argv=None):
                             temperature=opt.temperature, tau=opt.tau, mesh=mesh,
                             device_augment=opt.device_augment,
                             device_views=opt.device_views,
-                            int8_teacher=opt.int8_teacher)
+                            int8_teacher=opt.int8_teacher,
+                            shape_bank=shape_bank)
         trainer.profile_dir = opt.profile_dir
         start_epoch = 0
         if opt.resume:

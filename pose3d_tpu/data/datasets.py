@@ -100,6 +100,55 @@ class _PascalBase:
     def _cat_id(self, cat) -> int:
         return self._cat_to_id.get(cat, -1)
 
+    # ---- device-resident shape bank (ops/shape_bank.py) -------------------
+    def _ensure_shape_index(self) -> dict:
+        """Stable (cat, cad_index) -> bank row mapping over the frame's
+        distinct CAD models (sorted, so train/eval rebuilds agree)."""
+        if getattr(self, "_shape_index", None) is None:
+            pairs = sorted({(str(c), int(i)) for c, i in
+                            zip(self.frame.cat, self.frame.cad_index)})
+            self._shape_index = {p: k for k, p in enumerate(pairs)}
+        return self._shape_index
+
+    def build_shape_bank(self) -> tuple[np.ndarray, np.ndarray]:
+        """Load every distinct cloud ONCE -> ((S, V, 3) f32 zero-padded,
+        (S,) i32 counts) for ops.shape_bank.ShapeBank.from_arrays. Parent
+        process only — workers never need the bank."""
+        if self.shape != "PointCloud":
+            raise ValueError("shape bank requires shape='PointCloud'")
+        index = self._ensure_shape_index()
+        clouds = []
+        for cat, cad in index:  # insertion order == sorted == bank rows
+            path = os.path.join(self.root_dir, self.shape_dir, cat,
+                                "%02d" % cad, "compressed.ply")
+            clouds.append(np.asarray(ply.load_vertices(path), np.float32))
+        v = max(c.shape[0] for c in clouds)
+        verts = np.zeros((len(clouds), v, 3), np.float32)
+        counts = np.zeros((len(clouds),), np.int32)
+        for k, c in enumerate(clouds):
+            verts[k, : c.shape[0]] = c
+            counts[k] = c.shape[0]
+        return verts, counts
+
+    def _emit_shape(self, sample: dict, cat, cad_index, mutation, rng) -> None:
+        """Attach the sample's shape: the cloud itself (host path) or the
+        3-scalar bank reference (device_shapes=True)."""
+        if getattr(self, "device_shapes", False):
+            sample.update(self._shape_ref(cat, cad_index, mutation, rng))
+        else:
+            sample["shape"] = self._load_shape(cat, cad_index, mutation, rng)
+
+    def _shape_ref(self, cat, cad_index, mutation, rng) -> dict[str, Any]:
+        """The 3-scalar stand-in for a (point_num, 3) cloud when
+        device_shapes=True: bank row + z-rotation + the sample's PRNG seed
+        (one host u32 draw replaces the host path's rng.choice draw)."""
+        if self.shape != "PointCloud":
+            raise ValueError("device_shapes requires shape='PointCloud'")
+        row = self._ensure_shape_index()[(str(cat), int(cad_index))]
+        return {"shape_id": np.int32(row),
+                "shape_rot": np.float32(mutation),
+                "shape_seed": rng.integers(0, 2**32, dtype=np.uint32)}
+
     def _load_shape(self, cat, cad_index, mutation, rng) -> np.ndarray:
         if self.shape == "PointCloud":
             path = os.path.join(self.root_dir, self.shape_dir, str(cat),
@@ -128,7 +177,7 @@ class Pascal3D(_PascalBase):
                  shape_dir="Renders_semi_sphere", random=False, novel=True,
                  keypoint=True, train=True, cat_choice=None, random_model=False,
                  view_num=12, tour=2, random_range=0, point_num=2500, seed=None,
-                 decode_cache_mb=0.0):
+                 decode_cache_mb=0.0, device_shapes=False):
         frame = anno.pascal3d_frame(
             root_dir, annotation_file, train=train, keypoint=keypoint,
             novel=novel, cat_choice=cat_choice, seed=seed,
@@ -140,6 +189,10 @@ class Pascal3D(_PascalBase):
         self.random = random
         self.random_range = random_range
         self.random_model = random_model
+        # device_shapes: emit (shape_id, shape_rot, shape_seed) instead of the
+        # sampled cloud; the train step resolves them against a device-resident
+        # ShapeBank (ops/shape_bank.py). PointCloud only.
+        self.device_shapes = device_shapes
 
     def get(self, idx: int, rng: np.random.Generator) -> dict[str, Any]:
         row = self.frame.iloc[idx]
@@ -188,7 +241,7 @@ class Pascal3D(_PascalBase):
             sample["label"][0] = (sample["label"][0] - mutation * 5) % 360
         else:
             mutation = 0
-        sample["shape"] = self._load_shape(cat, cad_index, mutation, rng)
+        self._emit_shape(sample, cat, cad_index, mutation, rng)
         return sample
 
 
@@ -201,7 +254,7 @@ class Pascal3DContrast(_PascalBase):
                  keypoint=True, train=True, cat_choice=None, random_model=False,
                  view_num=12, tour=2, random_range=0, point_num=2500, shot=None,
                  offset=0, train_cls=None, seed=None, host_augment=True,
-                 device_views=False, decode_cache_mb=0.0):
+                 device_views=False, decode_cache_mb=0.0, device_shapes=False):
         frame = anno.pascal3d_frame(
             root_dir, annotation_file, train=train, keypoint=keypoint, novel=novel,
             cat_choice=cat_choice, train_cls=train_cls, shot=shot,
@@ -229,6 +282,8 @@ class Pascal3DContrast(_PascalBase):
         # content) — deliberate TPU-first deviations, documented in
         # docs/DESIGN.md.
         self.device_views = device_views
+        # see Pascal3D: 3-scalar bank reference instead of the sampled cloud
+        self.device_shapes = device_shapes
 
     def get(self, idx: int, rng: np.random.Generator) -> dict[str, Any]:
         row = self.frame.iloc[idx]
@@ -267,7 +322,7 @@ class Pascal3DContrast(_PascalBase):
                     "cat_id": cat_id,
                 }
                 if self.shape is not None:
-                    sample["shape"] = self._load_shape(cat, cad_index, 0, rng)
+                    self._emit_shape(sample, cat, cad_index, 0, rng)
                 return sample
 
             # rotated view (dataset.py:556-564)
@@ -293,7 +348,7 @@ class Pascal3DContrast(_PascalBase):
                 "cat_id": cat_id,
             }
             if self.shape is not None:
-                sample["shape"] = self._load_shape(cat, cad_index, 0, rng)
+                self._emit_shape(sample, cat, cad_index, 0, rng)
             return sample
 
         # eval path (dataset.py:578-612)
@@ -308,7 +363,7 @@ class Pascal3DContrast(_PascalBase):
         # MV-teacher eval path crashes. We emit the renders at val for every
         # non-None shape so teacher evaluation works for both encoders.
         if self.shape is not None:
-            sample["shape"] = self._load_shape(cat, cad_index, 0, rng)
+            self._emit_shape(sample, cat, cad_index, 0, rng)
         return sample
 
 

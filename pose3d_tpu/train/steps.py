@@ -70,6 +70,18 @@ def _valid_of(batch: Batch):
     return None if v is None else v.astype(bool)
 
 
+def _shape_of(batch: Batch, bank):
+    """batch["shape"], or the cloud resolved ON DEVICE from a bank reference
+    when the loader runs device_shapes mode (3 scalars per sample instead of
+    a (point_num, 3) transfer — ops/shape_bank.py)."""
+    if bank is not None and "shape_id" in batch:
+        from pose3d_tpu.ops.shape_bank import sample_from_bank
+
+        return sample_from_bank(bank, batch["shape_id"], batch["shape_rot"],
+                                batch["shape_seed"])
+    return batch.get("shape")
+
+
 # widest batch whose b^2 Gram still fits the single-block kernel's VMEM;
 # above it the blocked online-LSE kernel streams O(N*D) instead
 _SINGLE_BLOCK_NCE_MAX = 1024
@@ -121,12 +133,15 @@ def make_teacher_train_step(
     nce_dropout: float = 0.3,
     use_fused_nce: bool = False,
     device_augment: bool = False,
+    shape_bank=None,
 ) -> Callable:
     """use_fused_nce routes the contrastive term through the Pallas kernels
     via route_info_nce (identical math; dropout applied outside the kernel).
     device_augment expects RAW [0,1] pixels from the loader (datasets built
     with host_augment=False) and applies the photometric augs + normalize
-    on-device (ops/augment.py) — the host-bottleneck fix."""
+    on-device (ops/augment.py) — the host-bottleneck fix.
+    shape_bank: device-resident ShapeBank; the batch then carries
+    (shape_id, shape_rot, shape_seed) and the cloud is sampled in-step."""
 
     def _nce(img_proj, fused, nce_rng, valid):
         return route_info_nce(img_proj, fused, nce_tau, nce_rng, nce_dropout,
@@ -142,7 +157,7 @@ def make_teacher_train_step(
             im = _aug(im, aug_rng)
         (outputs, fused, img_proj), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            im, batch["shape"], train=True, mask=valid,
+            im, _shape_of(batch, shape_bank), train=True, mask=valid,
             rngs={"dropout": drop_rng},
             mutable=["batch_stats"],
         )
@@ -169,11 +184,12 @@ def make_teacher_train_step(
 # --------------------------------------------------------------------------
 # Vanilla supervised training — training.py:92-148
 # --------------------------------------------------------------------------
-def make_vanilla_train_step(model, has_shape: bool, bin_size: int = 15) -> Callable:
+def make_vanilla_train_step(model, has_shape: bool, bin_size: int = 15,
+                            shape_bank=None) -> Callable:
     def loss_fn(params, batch_stats, batch: Batch, rng):
         valid = _valid_of(batch)
         im = dewire(batch["im"])
-        args = (im, batch["shape"]) if has_shape else (im,)
+        args = (im, _shape_of(batch, shape_bank)) if has_shape else (im,)
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             *args, train=True, mask=valid,
@@ -206,6 +222,7 @@ def make_kd_crd_step(
     device_augment: bool = False,
     device_views: bool = False,
     int8_teacher: bool = False,
+    shape_bank=None,
 ) -> Callable:
     """step(student_state, teacher_variables, batch7) -> (student_state, metrics).
 
@@ -257,13 +274,13 @@ def make_kd_crd_step(
         # the frozen teacher's shape encoder runs once on the unique shapes
         # and tiles its features — exact with eval-mode BN, and it removes a
         # redundant 2x PointNet forward (2500 pts x 1024 dim) per step
+        shape = _shape_of(batch, shape_bank)
         if int8_teacher:
             t_out, t_feat = int8_fwd(teacher_vars["q8"],
                                      teacher_vars["variables"],
-                                     im, batch["shape"], view_tile=3)
+                                     im, shape, view_tile=3)
         else:
-            t_out, _, t_feat = teacher_model.apply(teacher_vars, im,
-                                                   batch["shape"],
+            t_out, _, t_feat = teacher_model.apply(teacher_vars, im, shape,
                                                    train=False, view_tile=3)
         # frozen teacher: identical update to the reference's
         # grads-computed-then-ignored (base_class.py:363), minus wasted FLOPs
@@ -303,6 +320,7 @@ def make_stage1_step(
     nce_weight: float = 0.75,
     use_memory_bank: bool = False,
     use_fused_nce: bool = False,
+    shape_bank=None,
 ) -> Callable:
     """Both models train. step(teacher_state, student_state, batch[, bank]) ->
     (teacher_state, student_state, metrics[, bank]). Teacher must have vanilla
@@ -330,7 +348,7 @@ def make_stage1_step(
         )
         (t_out, t_feat), t_mut = teacher_model.apply(
             {"params": t_params, "batch_stats": t_bs},
-            im, batch["shape"], train=True, mask=valid,
+            im, _shape_of(batch, shape_bank), train=True, mask=valid,
             mutable=["batch_stats"],
         )
         t_out = _f32(t_out)
@@ -391,6 +409,7 @@ def make_stage2_step(
     temperature: float = 1.0,
     device_views: bool = False,
     int8_teacher: bool = False,
+    shape_bank=None,
 ) -> Callable:
     # int8_teacher: frozen vanilla teacher's resnet18 through the int8
     # serving path (see make_kd_crd_step — same contract: teacher_vars
@@ -422,11 +441,12 @@ def make_stage2_step(
             rngs={"dropout": rng}, mutable=["batch_stats"],
         )
         # view_tile=3: see make_kd_crd_step — shape encoder runs once
+        shape = _shape_of(batch, shape_bank)
         if int8_teacher:
             t_out = int8_fwd(teacher_vars["q8"], teacher_vars["variables"],
-                             im, batch["shape"], view_tile=3)
+                             im, shape, view_tile=3)
         else:
-            t_out, _ = teacher_model.apply(teacher_vars, im, batch["shape"],
+            t_out, _ = teacher_model.apply(teacher_vars, im, shape,
                                            train=False, view_tile=3)
         t_out = jax.tree.map(jax.lax.stop_gradient, t_out)
 

@@ -157,7 +157,7 @@ class TeacherTrainer(_Base):
     def __init__(self, model, state, train_loader, eval_loader, category_names,
                  result_path, bin_size: int = 15, mesh=None, print_freq: int = 50,
                  cat_eval_loader=None, device_augment: bool = False,
-                 use_fused_nce: bool = False):
+                 use_fused_nce: bool = False, shape_bank=None):
         """cat_eval_loader: optional second val loader for the per-category
         Acc/Med sweep. The reference computes val_new loss on its Pascal3D
         eval set but the per-category accuracies on Pascal3DContrast val
@@ -171,10 +171,12 @@ class TeacherTrainer(_Base):
         self.cat_eval_loader = cat_eval_loader or eval_loader
         self.category_names = category_names
         self.print_freq = print_freq
+        self.shape_bank = shape_bank
         self.train_step = jax.jit(
             steps_lib.make_teacher_train_step(model, bin_size,
                                               device_augment=device_augment,
-                                              use_fused_nce=use_fused_nce),
+                                              use_fused_nce=use_fused_nce,
+                                              shape_bank=shape_bank),
             donate_argnums=(0,))
         self.eval_step = jax.jit(steps_lib.make_eval_step(model, "teacher", bin_size))
 
@@ -182,7 +184,7 @@ class TeacherTrainer(_Base):
         best_acc = 0.0
         losses = np.zeros((epochs, 2))
         accuracies = np.zeros((epochs, 2))
-        batch_keys = ("im", "shape", "label")
+        batch_keys = ("im", *_shape_batch_keys(self.shape_bank), "label")
         for epoch in range(start_epoch, epochs):
             self.train_loader.set_epoch(epoch)
             train_loss = AverageValueMeter()
@@ -259,7 +261,7 @@ class SupervisedTrainer(_Base):
 
     def __init__(self, model, state, train_loader, eval_loader, category_names,
                  result_path, kind: str = "student", bin_size: int = 15, mesh=None,
-                 print_freq: int = 50):
+                 print_freq: int = 50, shape_bank=None):
         super().__init__(result_path, mesh)
         self.model = model
         self.state = state
@@ -268,9 +270,12 @@ class SupervisedTrainer(_Base):
         self.category_names = category_names
         self.print_freq = print_freq
         has_shape = kind != "student"
-        self.batch_keys = ("im", "shape", "label") if has_shape else ("im", "label")
+        self.batch_keys = (
+            ("im", *_shape_batch_keys(shape_bank), "label") if has_shape
+            else ("im", "label"))
         self.train_step = jax.jit(
-            steps_lib.make_vanilla_train_step(model, has_shape, bin_size),
+            steps_lib.make_vanilla_train_step(model, has_shape, bin_size,
+                                              shape_bank=shape_bank),
             donate_argnums=(0,))
         self.eval_step = jax.jit(steps_lib.make_eval_step(model, kind, bin_size))
 
@@ -318,6 +323,16 @@ class SupervisedTrainer(_Base):
         return best_acc
 
 
+def _shape_batch_keys(shape_bank):
+    """The loader keys that carry the shape: the cloud itself, or the
+    3-scalar bank reference in device_shapes mode (ops/shape_bank.py)."""
+    if shape_bank is not None:
+        from pose3d_tpu.ops.shape_bank import SHAPE_ID_KEYS
+
+        return SHAPE_ID_KEYS
+    return ("shape",)
+
+
 def _extract_img_encoder(params, batch_stats):
     """Pull the image-encoder subtree if present (ResNet_0 inside the teacher,
     VGG_0 inside the student)."""
@@ -336,7 +351,7 @@ class KDTrainer(_Base):
                  bin_size: int = 15, temperature: float = 1.0, tau: float = 0.5,
                  mesh=None, teacher_state=None, device_augment: bool = False,
                  device_views: bool = False, int8_teacher: bool = False,
-                 use_fused_nce: bool = False):
+                 use_fused_nce: bool = False, shape_bank=None):
         super().__init__(result_path, mesh)
         self.student_model = student_model
         self.teacher_model = teacher_model
@@ -357,13 +372,18 @@ class KDTrainer(_Base):
         # stage-1 only today: routes the symmetric NCE through the Pallas
         # selector (steps.route_info_nce) — the wide-DP Gram regime
         self.use_fused_nce = use_fused_nce
+        # device-resident cloud bank (ops/shape_bank.py): the train loader
+        # then emits (shape_id, shape_rot, shape_seed) instead of clouds
+        self.shape_bank = shape_bank
         self.student_eval_step = jax.jit(
             steps_lib.make_eval_step(student_model, "student", bin_size))
 
     def _view_keys(self):
+        shape_keys = _shape_batch_keys(self.shape_bank)
         if self.device_views:
-            return ("im", "shape", "label", "label_flip", "label_rot", "rot_sign")
-        return ("im", "shape", "label", "im_flip", "label_flip", "im_rot",
+            return ("im", *shape_keys, "label", "label_flip", "label_rot",
+                    "rot_sign")
+        return ("im", *shape_keys, "label", "im_flip", "label_flip", "im_rot",
                 "label_rot")
 
     # ---------------- crd (the main student path) ----------------
@@ -371,7 +391,7 @@ class KDTrainer(_Base):
         step = jax.jit(steps_lib.make_kd_crd_step(
             self.student_model, self.teacher_model, self.bin_size, self.temperature,
             device_augment=self.device_augment, device_views=self.device_views,
-            int8_teacher=self.int8_teacher),
+            int8_teacher=self.int8_teacher, shape_bank=self.shape_bank),
             donate_argnums=(0,))
         return self._student_loop(step, self._view_keys(), epochs, start_epoch,
                                   "crd")
@@ -380,7 +400,8 @@ class KDTrainer(_Base):
     def fit_stage2(self, epochs: int, start_epoch: int = 0):
         step = jax.jit(steps_lib.make_stage2_step(
             self.student_model, self.teacher_model, self.bin_size, self.temperature,
-            device_views=self.device_views, int8_teacher=self.int8_teacher),
+            device_views=self.device_views, int8_teacher=self.int8_teacher,
+            shape_bank=self.shape_bank),
             donate_argnums=(0,))
         return self._student_loop(step, self._view_keys(), epochs, start_epoch,
                                   "stage2")
@@ -439,7 +460,8 @@ class KDTrainer(_Base):
         step = jax.jit(steps_lib.make_stage1_step(
             self.teacher_model, self.student_model, self.bin_size, self.tau,
             use_memory_bank=use_memory_bank,
-            use_fused_nce=self.use_fused_nce),
+            use_fused_nce=self.use_fused_nce,
+            shape_bank=self.shape_bank),
             donate_argnums=(0, 1))
         bank = None
         if use_memory_bank:
@@ -471,7 +493,7 @@ class KDTrainer(_Base):
                     self.log.line("WARNING: resuming stage 1 without a saved "
                                   "memory bank — the negative queue restarts "
                                   "cold\n")
-        keys = ("im", "shape", "label")
+        keys = ("im", *_shape_batch_keys(self.shape_bank), "label")
         teacher_eval_step = jax.jit(
             steps_lib.make_eval_step(self.teacher_model, "vanilla", self.bin_size))
         best_acc = 0.0
