@@ -98,14 +98,21 @@ def maybe_shape_bank(opt, dataset_train):
     Returns the ShapeBank (or None when the flag is off)."""
     if not getattr(opt, "device_shapes", False):
         return None
-    if opt.shape != "PointCloud":
-        raise SystemExit("--device_shapes requires --shape PointCloud")
+    if opt.shape not in ("PointCloud", "MultiView"):
+        raise SystemExit("--device_shapes requires --shape PointCloud or "
+                         "MultiView")
     if not hasattr(dataset_train, "device_shapes"):
-        raise SystemExit("--device_shapes: this dataset has no point-cloud "
-                         "bank support")
+        raise SystemExit("--device_shapes: this dataset has no shape-bank "
+                         "support")
     dataset_train.device_shapes = True
-    from pose3d_tpu.ops.shape_bank import ShapeBank
+    from pose3d_tpu.ops.shape_bank import RenderBank, ShapeBank
 
+    if opt.shape == "MultiView":
+        renders, id_table = dataset_train.build_render_bank()
+        print(f"render bank: {renders.shape[0]} models x {renders.shape[1]} "
+              f"renders @ {renders.shape[2]}px "
+              f"({renders.nbytes / (1 << 20):.1f} MB u8 device-resident)")
+        return RenderBank.from_arrays(renders, id_table)
     verts, counts = dataset_train.build_shape_bank()
     print(f"shape bank: {verts.shape[0]} clouds x {verts.shape[1]} verts "
           f"({verts.nbytes / (1 << 20):.1f} MB device-resident)")

@@ -130,6 +130,41 @@ class _PascalBase:
             counts[k] = c.shape[0]
         return verts, counts
 
+    def build_render_bank(self) -> tuple[np.ndarray, np.ndarray]:
+        """Decode every distinct render set ONCE -> ((S, R, H, W, 3) u8,
+        (72, K) i32 id_table) for ops.shape_bank.RenderBank.from_arrays.
+        Renders are stored at input_dim resolution (the same host BILINEAR
+        resize _load_shape applies), u8 — dewire on device reproduces
+        to_float_array to 1 ULP. Refuses absurd budgets loudly."""
+        if self.shape != "MultiView":
+            raise ValueError("render bank requires shape='MultiView'")
+        index = self._ensure_shape_index()
+        stacks = []
+        for cat, cad in index:
+            render_dir = os.path.join(self.root_dir, self.shape_dir, cat,
+                                      "%02d" % cad, "crop")
+            names = _sorted_listdir(self._names_memo, render_dir)
+            ims = []
+            for name in names:
+                im = _load_rgb(os.path.join(render_dir, name))
+                if self.input_dim != 224:
+                    im = im.resize((self.input_dim, self.input_dim),
+                                   Image.BILINEAR)
+                ims.append(np.asarray(im, np.uint8))
+            stacks.append(np.stack(ims))
+        r = {s.shape[0] for s in stacks}
+        if len(r) != 1:
+            raise ValueError(f"render sets differ in size across models: {r}")
+        renders = np.stack(stacks)
+        if renders.nbytes > 8 << 30:
+            raise SystemExit(
+                f"render bank would need {renders.nbytes / (1 << 30):.1f} GiB "
+                "HBM — too large for --device_shapes; drop the flag (host "
+                "render path) or reduce the model set")
+        id_table = np.stack([T.multiview_ids(self.view_num, self.tour, m)
+                             for m in range(72)]).astype(np.int32)
+        return renders, id_table
+
     def _emit_shape(self, sample: dict, cat, cad_index, mutation, rng) -> None:
         """Attach the sample's shape: the cloud itself (host path) or the
         3-scalar bank reference (device_shapes=True)."""
@@ -139,12 +174,17 @@ class _PascalBase:
             sample["shape"] = self._load_shape(cat, cad_index, mutation, rng)
 
     def _shape_ref(self, cat, cad_index, mutation, rng) -> dict[str, Any]:
-        """The 3-scalar stand-in for a (point_num, 3) cloud when
-        device_shapes=True: bank row + z-rotation + the sample's PRNG seed
-        (one host u32 draw replaces the host path's rng.choice draw)."""
-        if self.shape != "PointCloud":
-            raise ValueError("device_shapes requires shape='PointCloud'")
+        """The scalar stand-in for a cloud/render stack when
+        device_shapes=True. PointCloud: bank row + z-rotation + the sample's
+        PRNG seed (one host u32 draw replaces the host path's rng.choice
+        draw). MultiView: bank row + the mutation (view selection is the
+        deterministic id-table lookup — ops/shape_bank.RenderBank)."""
         row = self._ensure_shape_index()[(str(cat), int(cad_index))]
+        if self.shape == "MultiView":
+            return {"shape_id": np.int32(row),
+                    "shape_mut": np.int32(mutation)}
+        if self.shape != "PointCloud":
+            raise ValueError("device_shapes requires PointCloud or MultiView")
         return {"shape_id": np.int32(row),
                 "shape_rot": np.float32(mutation),
                 "shape_seed": rng.integers(0, 2**32, dtype=np.uint32)}

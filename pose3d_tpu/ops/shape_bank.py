@@ -41,7 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 # the batch keys that replace "shape" when a dataset runs device_shapes=True
-SHAPE_ID_KEYS = ("shape_id", "shape_rot", "shape_seed")
+SHAPE_ID_KEYS = ("shape_id", "shape_rot", "shape_seed")  # PointCloud bank
+RENDER_ID_KEYS = ("shape_id", "shape_mut")               # MultiView bank
 
 
 @dataclass(frozen=True)
@@ -52,6 +53,8 @@ class ShapeBank:
     verts: jnp.ndarray
     counts: jnp.ndarray
     point_num: int
+
+    batch_keys = SHAPE_ID_KEYS
 
     @classmethod
     def from_arrays(cls, verts: np.ndarray, counts: np.ndarray, point_num: int):
@@ -101,3 +104,51 @@ def sample_from_bank(bank: ShapeBank, ids, rot_deg, seeds) -> jnp.ndarray:
     return jax.vmap(
         lambda v, c, r, s: _sample_one(v, c, r, s, bank.point_num)
     )(verts, counts, rot_deg.astype(jnp.float32), seeds.astype(jnp.uint32))
+
+
+@dataclass(frozen=True)
+class RenderBank:
+    """MultiView analogue: the full render set per CAD model lives in HBM as
+    uint8 (4x smaller than f32) and the view subset is a deterministic table
+    lookup — `multiview_ids(view_num, tour, mutation)` depends only on
+    mutation in [0, 72), so all 72 outcomes are precomputed host-side into
+    id_table and the step does renders[shape_id][id_table[mutation]].
+
+    renders: (S, R, H, W, 3) u8, R = full render count (e.g. 144).
+    id_table: (72, K) i32, K = view_num (tour-strided ids).
+    Replaces: per-sample host decode of K render JPEGs + the (K, H, W, 3)
+    f32 wire transfer (reference dataset.py render branch) — at bs46 x 12
+    views x 224 px that is 331 MB/step on the wire."""
+
+    renders: jnp.ndarray
+    id_table: jnp.ndarray
+
+    batch_keys = RENDER_ID_KEYS
+
+    @classmethod
+    def from_arrays(cls, renders: np.ndarray, id_table: np.ndarray):
+        return cls(jnp.asarray(renders, jnp.uint8),
+                   jnp.asarray(id_table, jnp.int32))
+
+
+def gather_renders(bank: RenderBank, ids, mutation) -> jnp.ndarray:
+    """ids (b,) i32, mutation (b,) i32 -> (b, K, H, W, 3) f32 in [0, 1].
+
+    One flat gather of exactly the b*K selected renders — never the
+    (b, R, ...) intermediate (that would be ~1 GB at bs46 x 144 renders)."""
+    from pose3d_tpu.ops.augment import dewire
+
+    s, r = bank.renders.shape[:2]
+    view_ids = bank.id_table[mutation]              # (b, K)
+    flat = ids[:, None] * r + view_ids              # (b, K) into (S*R, ...)
+    sel = jnp.take(bank.renders.reshape(s * r, *bank.renders.shape[2:]),
+                   flat, axis=0)                    # (b, K, H, W, 3) u8
+    return dewire(sel)
+
+
+def resolve(bank, batch) -> jnp.ndarray:
+    """Dispatch a bank reference batch to the right gather."""
+    if isinstance(bank, RenderBank):
+        return gather_renders(bank, batch["shape_id"], batch["shape_mut"])
+    return sample_from_bank(bank, batch["shape_id"], batch["shape_rot"],
+                            batch["shape_seed"])

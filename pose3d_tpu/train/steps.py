@@ -71,14 +71,14 @@ def _valid_of(batch: Batch):
 
 
 def _shape_of(batch: Batch, bank):
-    """batch["shape"], or the cloud resolved ON DEVICE from a bank reference
-    when the loader runs device_shapes mode (3 scalars per sample instead of
-    a (point_num, 3) transfer — ops/shape_bank.py)."""
+    """batch["shape"], or the shape resolved ON DEVICE from a bank reference
+    when the loader runs device_shapes mode (a few scalars per sample instead
+    of a cloud/render transfer — ops/shape_bank.py; clouds are sampled
+    in-step, render views are a deterministic id-table gather)."""
     if bank is not None and "shape_id" in batch:
-        from pose3d_tpu.ops.shape_bank import sample_from_bank
+        from pose3d_tpu.ops import shape_bank as _sb
 
-        return sample_from_bank(bank, batch["shape_id"], batch["shape_rot"],
-                                batch["shape_seed"])
+        return _sb.resolve(bank, batch)
     return batch.get("shape")
 
 

@@ -324,12 +324,11 @@ class SupervisedTrainer(_Base):
 
 
 def _shape_batch_keys(shape_bank):
-    """The loader keys that carry the shape: the cloud itself, or the
-    3-scalar bank reference in device_shapes mode (ops/shape_bank.py)."""
+    """The loader keys that carry the shape: the cloud/render stack itself,
+    or the bank's scalar reference keys in device_shapes mode
+    (ops/shape_bank.py — ShapeBank vs RenderBank carry different keys)."""
     if shape_bank is not None:
-        from pose3d_tpu.ops.shape_bank import SHAPE_ID_KEYS
-
-        return SHAPE_ID_KEYS
+        return shape_bank.batch_keys
     return ("shape",)
 
 

@@ -216,3 +216,81 @@ def test_multidevice_bank_step_matches_single_device():
     assert float(ref_metrics["loss"]) == pytest.approx(
         float(out_metrics["loss"]), rel=1e-4)
     del state, tvars
+
+
+# ----------------------------- MultiView render bank ------------------------
+
+
+@pytest.fixture(scope="module")
+def mv_fixture(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("o3d_mv_bank"))
+    synthetic.make_objectnet3d_fixture(root, categories=("bed",),
+                                       n_train_per_cat=3, n_val_per_cat=1,
+                                       image_size=48, with_renders=True,
+                                       n_renders=144, render_size=24)
+    return root
+
+
+def _mv_ds(root, device_shapes):
+    return datasets.Pascal3DContrast(
+        root, "ObjectNet3D.txt", train=True, shape="MultiView",
+        shape_dir="Renders_semi_sphere", view_num=12, tour=2, input_dim=24,
+        device_views=True, device_shapes=device_shapes)
+
+
+def test_render_bank_gather_matches_host(mv_fixture):
+    """Deterministic id-table gather: device output == host _load_shape for
+    the same (model, mutation), up to the pinned 1-ULP dewire delta."""
+    ds = _mv_ds(mv_fixture, device_shapes=True)
+    renders, id_table = ds.build_render_bank()
+    assert renders.dtype == np.uint8 and id_table.shape == (72, 12)
+    bank = sb.RenderBank.from_arrays(renders, id_table)
+    ds_host = _mv_ds(mv_fixture, device_shapes=False)
+    for mut in (0, 7, 71):
+        row = ds_host.frame.iloc[1]
+        host = ds_host._load_shape(row["cat"], row["cad_index"], mut,
+                                   np.random.default_rng(0))
+        sid = ds._ensure_shape_index()[(str(row["cat"]), int(row["cad_index"]))]
+        dev = np.asarray(sb.gather_renders(
+            bank, jnp.array([sid], jnp.int32), jnp.array([mut], jnp.int32)))[0]
+        np.testing.assert_allclose(dev, host, atol=1e-6, err_msg=f"mut={mut}")
+
+
+def test_mv_dataset_emission_and_teacher_step(mv_fixture):
+    """device_shapes MV emission + teacher-step loss parity vs the host
+    render path (the gather is deterministic, so the losses must agree)."""
+    import optax
+
+    from pose3d_tpu.models.estimators import PoseEstimator
+    from pose3d_tpu.train import steps
+    from pose3d_tpu.train.state import create_train_state
+
+    ds_dev = _mv_ds(mv_fixture, device_shapes=True)
+    ds_host = _mv_ds(mv_fixture, device_shapes=False)
+    s = ds_dev.get(0, np.random.default_rng(3))
+    assert set(s) >= {"shape_id", "shape_mut"} and "shape" not in s
+    assert int(s["shape_mut"]) == 0  # contrast pins mutation to 0
+
+    def batch_of(ds, keys, n=2):
+        samples = [ds.get(i, np.random.default_rng((46, 0, i))) for i in range(n)]
+        return {k: jnp.asarray(np.stack([x[k] for x in samples])) for k in keys}
+
+    b_host = batch_of(ds_host, ("im", "label", "shape"))
+    b_dev = batch_of(ds_dev, ("im", "label", "shape_id", "shape_mut"))
+    np.testing.assert_array_equal(np.asarray(b_host["im"]),
+                                  np.asarray(b_dev["im"]))
+
+    teacher = PoseEstimator(shape="MultiView", view_num=12, img_feature_dim=64,
+                            shape_feature_dim=64, azi_classes=24,
+                            ele_classes=12, inp_classes=24)
+    state = create_train_state(
+        teacher, (jnp.zeros((1, 24, 24, 3)), jnp.zeros((1, 12, 24, 24, 3))),
+        jax.random.key(0), optax.sgd(0.1))
+    renders, id_table = ds_dev.build_render_bank()
+    bank = sb.RenderBank.from_arrays(renders, id_table)
+    step_host = steps.make_teacher_train_step(teacher)
+    step_dev = steps.make_teacher_train_step(teacher, shape_bank=bank)
+    _, m_host = step_host(state, b_host)
+    _, m_dev = step_dev(state, b_dev)
+    np.testing.assert_allclose(float(m_dev["loss"]), float(m_host["loss"]),
+                               rtol=2e-5)
