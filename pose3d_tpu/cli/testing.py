@@ -40,6 +40,10 @@ def parse_args(argv=None):
                         help="evaluate through the int8 PTQ serving path")
     parser.add_argument("--calib_batches", type=int, default=4,
                         help="eval batches used to calibrate --int8 scales")
+    parser.add_argument("--device_shapes", action="store_true",
+                        help="teacher eval only: resolve shapes from a "
+                             "device-resident bank (ops/shape_bank.py) "
+                             "instead of per-sample host loads + transfers")
     opt = parser.parse_args(argv)
     common.normalize_shape(opt)
     # reference testing.py defaults (testing.py:21-22)
@@ -176,10 +180,21 @@ def main(argv=None):
     # flow, testing.py:40-60) is the mesh=None degenerate case.
     mesh = common.make_dp_mesh(opt)
 
+    shape_bank = None
+    if getattr(opt, "device_shapes", False):
+        if kind != "teacher":
+            raise SystemExit("--device_shapes applies to teacher eval "
+                             "(student eval carries no shapes)")
+        if opt.int8:
+            raise SystemExit("--device_shapes is not combinable with --int8 "
+                             "(the int8 calibration consumes host shapes)")
+        shape_bank = common.maybe_shape_bank(opt, dataset)
+
     if opt.int8:
         eval_step = _int8_eval_step(opt, model, kind, variables, dataset, mesh)
     else:
-        eval_step = jax.jit(steps_lib.make_eval_step(model, kind, opt.bin_size))
+        eval_step = jax.jit(steps_lib.make_eval_step(model, kind, opt.bin_size,
+                                                     shape_bank=shape_bank))
 
     if mesh is not None:
         from pose3d_tpu.parallel import replicate

@@ -59,8 +59,13 @@ def evaluate_categories(
 
     for batch in batches:
         valid = np.asarray(batch.get("valid", np.ones(len(batch["label"]), bool)))
-        metrics = eval_step(variables, {k: v for k, v in batch.items()
-                                        if k in ("im", "shape", "label", "valid")})
+        metrics = eval_step(variables, {
+            k: v for k, v in batch.items()
+            # shape_id/shape_rot/shape_seed/shape_mut: device-resident
+            # shape-bank references (ops/shape_bank.py) in --device_shapes
+            # eval — the step resolves them against its bank
+            if k in ("im", "shape", "label", "valid", "shape_id",
+                     "shape_rot", "shape_seed", "shape_mut")})
         preds = np.asarray(metrics["pred"])[valid]
         labels = np.asarray(batch["label"])[valid]
         all_preds.append(preds)

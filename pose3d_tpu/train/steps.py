@@ -472,13 +472,16 @@ def make_stage2_step(
 # --------------------------------------------------------------------------
 # Evaluation step — evaluation.py:11-117
 # --------------------------------------------------------------------------
-def make_eval_step(model, kind: str, bin_size: int = 15) -> Callable:
+def make_eval_step(model, kind: str, bin_size: int = 15,
+                   shape_bank=None) -> Callable:
     """kind: 'student' (im) | 'teacher' (im, shape; 3-tuple out) |
     'vanilla' (im, shape; 2-tuple out).
 
     Returns step(variables, batch) -> {'pred': (N,3), 'loss': scalar,
     'nce_loss': scalar or 0}. Uses the train/val decoder
     (bin + tanh(d)/2 + 0.5) * bin_size.
+    shape_bank: resolve the shape from a device-resident bank reference
+    (--device_shapes on the testing CLI) instead of batch["shape"].
     """
 
     def step(variables, batch: Batch):
@@ -487,10 +490,12 @@ def make_eval_step(model, kind: str, bin_size: int = 15) -> Callable:
             outputs, fused, img_proj = out[0], None, None
         elif kind == "teacher":
             outputs, fused, img_proj = model.apply(
-                variables, batch["im"], batch["shape"], train=False
+                variables, batch["im"], _shape_of(batch, shape_bank),
+                train=False
             )
         elif kind == "vanilla":
-            outputs, _ = model.apply(variables, batch["im"], batch["shape"], train=False)
+            outputs, _ = model.apply(variables, batch["im"],
+                                     _shape_of(batch, shape_bank), train=False)
             fused = img_proj = None
         else:
             raise ValueError(kind)

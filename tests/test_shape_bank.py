@@ -294,3 +294,37 @@ def test_mv_dataset_emission_and_teacher_step(mv_fixture):
     _, m_dev = step_dev(state, b_dev)
     np.testing.assert_allclose(float(m_dev["loss"]), float(m_host["loss"]),
                                rtol=2e-5)
+
+
+def test_eval_step_render_bank_matches_host(mv_fixture):
+    """Teacher eval with the render bank must reproduce the host render
+    path's predictions (deterministic gather; 1-ULP dewire delta only)."""
+    from pose3d_tpu.models.estimators import PoseEstimator
+    from pose3d_tpu.train import steps
+
+    ds_host = _mv_ds(mv_fixture, device_shapes=False)
+    ds_host.train = False
+    ds_dev = _mv_ds(mv_fixture, device_shapes=True)
+    ds_dev.train = False
+
+    def batch_of(ds, keys, n=2):
+        samples = [ds.get(i, np.random.default_rng((1, 0, i))) for i in range(n)]
+        return {k: jnp.asarray(np.stack([x[k] for x in samples])) for k in keys}
+
+    b_host = batch_of(ds_host, ("im", "label", "shape"))
+    b_dev = batch_of(ds_dev, ("im", "label", "shape_id", "shape_mut"))
+
+    teacher = PoseEstimator(shape="MultiView", view_num=12, img_feature_dim=64,
+                            shape_feature_dim=64, azi_classes=24,
+                            ele_classes=12, inp_classes=24)
+    variables = teacher.init(jax.random.key(0), jnp.zeros((1, 24, 24, 3)),
+                             jnp.zeros((1, 12, 24, 24, 3)), train=False)
+    renders, id_table = ds_dev.build_render_bank()
+    bank = sb.RenderBank.from_arrays(renders, id_table)
+    m_host = steps.make_eval_step(teacher, "teacher")(variables, b_host)
+    m_dev = steps.make_eval_step(teacher, "teacher", shape_bank=bank)(
+        variables, b_dev)
+    np.testing.assert_allclose(np.asarray(m_dev["pred"]),
+                               np.asarray(m_host["pred"]), atol=1e-3)
+    np.testing.assert_allclose(float(m_dev["loss"]), float(m_host["loss"]),
+                               rtol=2e-5)
