@@ -192,9 +192,21 @@ def main(argv=None):
 
     if opt.int8:
         eval_step = _int8_eval_step(opt, model, kind, variables, dataset, mesh)
+    elif shape_bank is not None:
+        # the bank is a traced jit ARGUMENT, placed once — closing over it
+        # embeds HLO literals and the remote compiler const-folds for
+        # minutes per process (docs/PERF.md round 4, same as the int8 note)
+        jstep = jax.jit(steps_lib.make_eval_step(model, kind, opt.bin_size,
+                                                 with_shape_bank=True))
+        if mesh is not None:
+            from pose3d_tpu.parallel import replicate
+
+            bank_dev = replicate(shape_bank, mesh)
+        else:
+            bank_dev = jax.device_put(shape_bank)
+        eval_step = lambda v, b: jstep(bank_dev, v, b)
     else:
-        eval_step = jax.jit(steps_lib.make_eval_step(model, kind, opt.bin_size,
-                                                     shape_bank=shape_bank))
+        eval_step = jax.jit(steps_lib.make_eval_step(model, kind, opt.bin_size))
 
     if mesh is not None:
         from pose3d_tpu.parallel import replicate

@@ -62,6 +62,10 @@ class ShapeBank:
                    jnp.asarray(counts, jnp.int32), int(point_num))
 
 
+jax.tree_util.register_dataclass(ShapeBank, data_fields=("verts", "counts"),
+                                 meta_fields=("point_num",))
+
+
 def _sample_one(verts, count, rot_deg, seed, point_num: int):
     """(V, 3) + scalars -> (point_num, 3); transforms.sample_pointcloud on
     device (rotate about z AFTER subset, then global min-max to [0, 1])."""
@@ -129,6 +133,11 @@ class RenderBank:
     def from_arrays(cls, renders: np.ndarray, id_table: np.ndarray):
         return cls(jnp.asarray(renders, jnp.uint8),
                    jnp.asarray(id_table, jnp.int32))
+
+
+jax.tree_util.register_dataclass(RenderBank,
+                                 data_fields=("renders", "id_table"),
+                                 meta_fields=())
 
 
 def gather_renders(bank: RenderBank, ids, mutation) -> jnp.ndarray:

@@ -74,7 +74,15 @@ def _shape_of(batch: Batch, bank):
     """batch["shape"], or the shape resolved ON DEVICE from a bank reference
     when the loader runs device_shapes mode (a few scalars per sample instead
     of a cloud/render transfer — ops/shape_bank.py; clouds are sampled
-    in-step, render views are a deterministic id-table gather)."""
+    in-step, render views are a deterministic id-table gather).
+
+    The bank MUST reach the jitted step as a traced ARGUMENT, never a
+    closure: closing over it embeds the whole bank as HLO literals and the
+    remote compiler const-folds for minutes per process (measured 468 s vs
+    16.6 s for a 41 MB render bank — docs/PERF.md round 4; same failure mode
+    as the round-3 int8 params). Factories therefore take
+    `with_shape_bank=True` and return a step whose FIRST argument is the
+    bank pytree."""
     if bank is not None and "shape_id" in batch:
         from pose3d_tpu.ops import shape_bank as _sb
 
@@ -133,21 +141,22 @@ def make_teacher_train_step(
     nce_dropout: float = 0.3,
     use_fused_nce: bool = False,
     device_augment: bool = False,
-    shape_bank=None,
+    with_shape_bank: bool = False,
 ) -> Callable:
     """use_fused_nce routes the contrastive term through the Pallas kernels
     via route_info_nce (identical math; dropout applied outside the kernel).
     device_augment expects RAW [0,1] pixels from the loader (datasets built
     with host_augment=False) and applies the photometric augs + normalize
     on-device (ops/augment.py) — the host-bottleneck fix.
-    shape_bank: device-resident ShapeBank; the batch then carries
-    (shape_id, shape_rot, shape_seed) and the cloud is sampled in-step."""
+    with_shape_bank: the returned step takes the device-resident bank as its
+    FIRST argument (see _shape_of for why it must be an argument) and the
+    batch carries the bank's scalar reference keys."""
 
     def _nce(img_proj, fused, nce_rng, valid):
         return route_info_nce(img_proj, fused, nce_tau, nce_rng, nce_dropout,
                               valid, use_fused_nce)
 
-    def loss_fn(params, batch_stats, batch: Batch, rng):
+    def loss_fn(params, batch_stats, batch: Batch, rng, bank):
         drop_rng, nce_rng, aug_rng = jax.random.split(rng, 3)
         valid = _valid_of(batch)
         im = dewire(batch["im"])  # u8 wire -> exact [0,1] f32 (4x transfer cut)
@@ -157,7 +166,7 @@ def make_teacher_train_step(
             im = _aug(im, aug_rng)
         (outputs, fused, img_proj), mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
-            im, _shape_of(batch, shape_bank), train=True, mask=valid,
+            im, _shape_of(batch, bank), train=True, mask=valid,
             rngs={"dropout": drop_rng},
             mutable=["batch_stats"],
         )
@@ -169,27 +178,29 @@ def make_teacher_train_step(
         loss = gt + nce_weight * nce
         return loss, (outputs, mutated["batch_stats"], gt, nce)
 
-    def step(state, batch: Batch):
+    def raw_step(bank, state, batch: Batch):
         rng, new_rng = jax.random.split(state.rng)
         (loss, (outputs, new_bs, gt, nce)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch, rng)
+        )(state.params, state.batch_stats, batch, rng, bank)
         state = state.apply_gradients(grads, new_batch_stats=new_bs, new_rng=new_rng)
         _, acc = _train_metrics(outputs, batch["label"], bin_size, _valid_of(batch))
         return state, {"loss": loss, "pose_loss": gt, "nce_loss": nce, "acc_rot": acc}
 
-    return step
+    if with_shape_bank:
+        return raw_step
+    return partial(raw_step, None)
 
 
 # --------------------------------------------------------------------------
 # Vanilla supervised training — training.py:92-148
 # --------------------------------------------------------------------------
 def make_vanilla_train_step(model, has_shape: bool, bin_size: int = 15,
-                            shape_bank=None) -> Callable:
-    def loss_fn(params, batch_stats, batch: Batch, rng):
+                            with_shape_bank: bool = False) -> Callable:
+    def loss_fn(params, batch_stats, batch: Batch, rng, bank):
         valid = _valid_of(batch)
         im = dewire(batch["im"])
-        args = (im, _shape_of(batch, shape_bank)) if has_shape else (im,)
+        args = (im, _shape_of(batch, bank)) if has_shape else (im,)
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             *args, train=True, mask=valid,
@@ -199,16 +210,18 @@ def make_vanilla_train_step(model, has_shape: bool, bin_size: int = 15,
         gt = pose_loss(outputs, batch["label"], bin_size, valid=valid)
         return gt, (outputs, mutated["batch_stats"])
 
-    def step(state, batch: Batch):
+    def raw_step(bank, state, batch: Batch):
         rng, new_rng = jax.random.split(state.rng)
         (loss, (outputs, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, rng
+            state.params, state.batch_stats, batch, rng, bank
         )
         state = state.apply_gradients(grads, new_batch_stats=new_bs, new_rng=new_rng)
         _, acc = _train_metrics(outputs, batch["label"], bin_size, _valid_of(batch))
         return state, {"loss": loss, "acc_rot": acc}
 
-    return step
+    if with_shape_bank:
+        return raw_step
+    return partial(raw_step, None)
 
 
 # --------------------------------------------------------------------------
@@ -222,9 +235,11 @@ def make_kd_crd_step(
     device_augment: bool = False,
     device_views: bool = False,
     int8_teacher: bool = False,
-    shape_bank=None,
+    with_shape_bank: bool = False,
 ) -> Callable:
-    """step(student_state, teacher_variables, batch7) -> (student_state, metrics).
+    """step(student_state, teacher_variables, batch7) -> (student_state, metrics)
+    — or step(bank, student_state, teacher_variables, batch) with
+    with_shape_bank=True (see _shape_of: the bank must be an argument).
 
     batch7 keys: im, shape, label, im_flip, label_flip, im_rot, label_rot.
     device_augment: see make_teacher_train_step.
@@ -246,7 +261,7 @@ def make_kd_crd_step(
 
         int8_fwd = make_teacher_int8_kd_fwd(teacher_model)
 
-    def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng):
+    def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng, bank):
         valid = _valid_of(batch)
         valid3 = None if valid is None else jnp.concatenate([valid] * 3, axis=0)
         if device_views:
@@ -274,7 +289,7 @@ def make_kd_crd_step(
         # the frozen teacher's shape encoder runs once on the unique shapes
         # and tiles its features — exact with eval-mode BN, and it removes a
         # redundant 2x PointNet forward (2500 pts x 1024 dim) per step
-        shape = _shape_of(batch, shape_bank)
+        shape = _shape_of(batch, bank)
         if int8_teacher:
             t_out, t_feat = int8_fwd(teacher_vars["q8"],
                                      teacher_vars["variables"],
@@ -295,18 +310,21 @@ def make_kd_crd_step(
                                      temperature=temperature, valid=valid3)
         return loss, (s_out, label, valid3, mutated["batch_stats"], gt)
 
-    def step(student_state, teacher_vars, batch: Batch):
+    def raw_step(bank, student_state, teacher_vars, batch: Batch):
         rng, new_rng = jax.random.split(student_state.rng)
         (loss, (s_out, label, valid3, new_bs, gt)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(student_state.params, student_state.batch_stats, teacher_vars, batch, rng)
+        )(student_state.params, student_state.batch_stats, teacher_vars, batch,
+          rng, bank)
         student_state = student_state.apply_gradients(
             grads, new_batch_stats=new_bs, new_rng=new_rng
         )
         _, acc = _train_metrics(s_out, label, bin_size, valid3)
         return student_state, {"loss": loss, "gt_loss": gt, "acc_rot": acc}
 
-    return step
+    if with_shape_bank:
+        return raw_step
+    return partial(raw_step, None)
 
 
 # --------------------------------------------------------------------------
@@ -320,7 +338,7 @@ def make_stage1_step(
     nce_weight: float = 0.75,
     use_memory_bank: bool = False,
     use_fused_nce: bool = False,
-    shape_bank=None,
+    with_shape_bank: bool = False,
 ) -> Callable:
     """Both models train. step(teacher_state, student_state, batch[, bank]) ->
     (teacher_state, student_state, metrics[, bank]). Teacher must have vanilla
@@ -337,7 +355,8 @@ def make_stage1_step(
     solves (base_class.py:451-569). Ignored by the memory-bank branch (the
     bank loss has a different key pool)."""
 
-    def loss_fn(t_params, s_params, t_bs, s_bs, batch: Batch, rng, bank):
+    def loss_fn(t_params, s_params, t_bs, s_bs, batch: Batch, rng, bank,
+                sbank):
         s_rng, nce_rng1, nce_rng2 = jax.random.split(rng, 3)
         valid = _valid_of(batch)
         im = dewire(batch["im"])
@@ -348,7 +367,7 @@ def make_stage1_step(
         )
         (t_out, t_feat), t_mut = teacher_model.apply(
             {"params": t_params, "batch_stats": t_bs},
-            im, _shape_of(batch, shape_bank), train=True, mask=valid,
+            im, _shape_of(batch, sbank), train=True, mask=valid,
             mutable=["batch_stats"],
         )
         t_out = _f32(t_out)
@@ -374,12 +393,13 @@ def make_stage1_step(
         return loss, (t_out, t_mut["batch_stats"], s_mut["batch_stats"],
                       teacher_loss, t_feat)
 
-    def step(teacher_state, student_state, batch: Batch, bank=None):
+    def raw_step(sbank, teacher_state, student_state, batch: Batch, bank=None):
         rng, new_rng = jax.random.split(student_state.rng)
         grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
         (loss, (t_out, t_bs, s_bs, t_loss, t_feat)), (t_grads, s_grads) = grad_fn(
             teacher_state.params, student_state.params,
-            teacher_state.batch_stats, student_state.batch_stats, batch, rng, bank,
+            teacher_state.batch_stats, student_state.batch_stats, batch, rng,
+            bank, sbank,
         )
         teacher_state = teacher_state.apply_gradients(t_grads, new_batch_stats=t_bs)
         student_state = student_state.apply_gradients(
@@ -396,7 +416,9 @@ def make_stage1_step(
             return teacher_state, student_state, metrics, bank
         return teacher_state, student_state, metrics
 
-    return step
+    if with_shape_bank:
+        return raw_step
+    return partial(raw_step, None)
 
 
 # --------------------------------------------------------------------------
@@ -409,7 +431,7 @@ def make_stage2_step(
     temperature: float = 1.0,
     device_views: bool = False,
     int8_teacher: bool = False,
-    shape_bank=None,
+    with_shape_bank: bool = False,
 ) -> Callable:
     # int8_teacher: frozen vanilla teacher's resnet18 through the int8
     # serving path (see make_kd_crd_step — same contract: teacher_vars
@@ -419,7 +441,7 @@ def make_stage2_step(
 
         int8_fwd = make_vanilla_int8_kd_fwd(teacher_model)
 
-    def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng):
+    def loss_fn(params, batch_stats, teacher_vars, batch: Batch, rng, bank):
         valid = _valid_of(batch)
         valid3 = None if valid is None else jnp.concatenate([valid] * 3, axis=0)
         if device_views:
@@ -441,7 +463,7 @@ def make_stage2_step(
             rngs={"dropout": rng}, mutable=["batch_stats"],
         )
         # view_tile=3: see make_kd_crd_step — shape encoder runs once
-        shape = _shape_of(batch, shape_bank)
+        shape = _shape_of(batch, bank)
         if int8_teacher:
             t_out = int8_fwd(teacher_vars["q8"], teacher_vars["variables"],
                              im, shape, view_tile=3)
@@ -455,47 +477,51 @@ def make_stage2_step(
         loss = kd_loss(s_out, t_out, gt, temperature=temperature, valid=valid3)
         return loss, (s_out, label, valid3, mutated["batch_stats"], gt)
 
-    def step(student_state, teacher_vars, batch: Batch):
+    def raw_step(bank, student_state, teacher_vars, batch: Batch):
         rng, new_rng = jax.random.split(student_state.rng)
         (loss, (s_out, label, valid3, new_bs, gt)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(student_state.params, student_state.batch_stats, teacher_vars, batch, rng)
+        )(student_state.params, student_state.batch_stats, teacher_vars, batch,
+          rng, bank)
         student_state = student_state.apply_gradients(
             grads, new_batch_stats=new_bs, new_rng=new_rng
         )
         _, acc = _train_metrics(s_out, label, bin_size, valid3)
         return student_state, {"loss": loss, "gt_loss": gt, "acc_rot": acc}
 
-    return step
+    if with_shape_bank:
+        return raw_step
+    return partial(raw_step, None)
 
 
 # --------------------------------------------------------------------------
 # Evaluation step — evaluation.py:11-117
 # --------------------------------------------------------------------------
 def make_eval_step(model, kind: str, bin_size: int = 15,
-                   shape_bank=None) -> Callable:
+                   with_shape_bank: bool = False) -> Callable:
     """kind: 'student' (im) | 'teacher' (im, shape; 3-tuple out) |
     'vanilla' (im, shape; 2-tuple out).
 
     Returns step(variables, batch) -> {'pred': (N,3), 'loss': scalar,
     'nce_loss': scalar or 0}. Uses the train/val decoder
     (bin + tanh(d)/2 + 0.5) * bin_size.
-    shape_bank: resolve the shape from a device-resident bank reference
-    (--device_shapes on the testing CLI) instead of batch["shape"].
+    with_shape_bank: the step takes the device-resident bank as its FIRST
+    argument (--device_shapes eval; see _shape_of for why it must be an
+    argument) and resolves the shape from the batch's bank-reference keys.
     """
 
-    def step(variables, batch: Batch):
+    def raw_step(bank, variables, batch: Batch):
         if kind == "student":
             out = model.apply(variables, batch["im"], train=False)
             outputs, fused, img_proj = out[0], None, None
         elif kind == "teacher":
             outputs, fused, img_proj = model.apply(
-                variables, batch["im"], _shape_of(batch, shape_bank),
+                variables, batch["im"], _shape_of(batch, bank),
                 train=False
             )
         elif kind == "vanilla":
             outputs, _ = model.apply(variables, batch["im"],
-                                     _shape_of(batch, shape_bank), train=False)
+                                     _shape_of(batch, bank), train=False)
             fused = img_proj = None
         else:
             raise ValueError(kind)
@@ -518,4 +544,6 @@ def make_eval_step(model, kind: str, bin_size: int = 15,
             )
         return metrics
 
-    return step
+    if with_shape_bank:
+        return raw_step
+    return partial(raw_step, None)

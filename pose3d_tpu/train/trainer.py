@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import os
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -172,12 +173,11 @@ class TeacherTrainer(_Base):
         self.category_names = category_names
         self.print_freq = print_freq
         self.shape_bank = shape_bank
-        self.train_step = jax.jit(
-            steps_lib.make_teacher_train_step(model, bin_size,
-                                              device_augment=device_augment,
-                                              use_fused_nce=use_fused_nce,
-                                              shape_bank=shape_bank),
-            donate_argnums=(0,))
+        self.train_step = _jit_step(
+            partial(steps_lib.make_teacher_train_step, model, bin_size,
+                    device_augment=device_augment,
+                    use_fused_nce=use_fused_nce),
+            shape_bank, mesh, donate=(0,))
         self.eval_step = jax.jit(steps_lib.make_eval_step(model, "teacher", bin_size))
 
     def fit(self, epochs: int, start_epoch: int = 0, save_best: bool = True):
@@ -273,10 +273,10 @@ class SupervisedTrainer(_Base):
         self.batch_keys = (
             ("im", *_shape_batch_keys(shape_bank), "label") if has_shape
             else ("im", "label"))
-        self.train_step = jax.jit(
-            steps_lib.make_vanilla_train_step(model, has_shape, bin_size,
-                                              shape_bank=shape_bank),
-            donate_argnums=(0,))
+        self.train_step = _jit_step(
+            partial(steps_lib.make_vanilla_train_step, model, has_shape,
+                    bin_size),
+            shape_bank, mesh, donate=(0,))
         self.eval_step = jax.jit(steps_lib.make_eval_step(model, kind, bin_size))
 
     def fit(self, epochs: int, start_epoch: int = 0):
@@ -321,6 +321,28 @@ class SupervisedTrainer(_Base):
                                 "epoch_seconds": time.time() - t0})
             plot_curves(self.result_path, losses, accuracies, epoch)
         return best_acc
+
+
+def _jit_step(make_fn, shape_bank, mesh, donate=(), **kw):
+    """jit a step factory, binding an optional device-resident shape bank.
+
+    The bank is passed to the jitted step as its first TRACED argument —
+    never a closure: a closed-over bank is embedded as HLO literals and the
+    remote compiler const-folds for minutes per process (measured 468 s vs
+    16.6 s for a 41 MB render bank, docs/PERF.md round 4 — the same failure
+    mode as the round-3 int8 calibration params). Placed/replicated here
+    ONCE; callers keep the original (state, batch) call signature."""
+    if shape_bank is None:
+        return jax.jit(make_fn(**kw), donate_argnums=donate)
+    raw = make_fn(with_shape_bank=True, **kw)
+    jstep = jax.jit(raw, donate_argnums=tuple(d + 1 for d in donate))
+    if mesh is not None:
+        from pose3d_tpu.parallel import replicate
+
+        bank_dev = replicate(shape_bank, mesh)
+    else:
+        bank_dev = jax.device_put(shape_bank)
+    return lambda *a, **k: jstep(bank_dev, *a, **k)
 
 
 def _shape_batch_keys(shape_bank):
@@ -387,21 +409,24 @@ class KDTrainer(_Base):
 
     # ---------------- crd (the main student path) ----------------
     def fit_crd(self, epochs: int, start_epoch: int = 0):
-        step = jax.jit(steps_lib.make_kd_crd_step(
-            self.student_model, self.teacher_model, self.bin_size, self.temperature,
-            device_augment=self.device_augment, device_views=self.device_views,
-            int8_teacher=self.int8_teacher, shape_bank=self.shape_bank),
-            donate_argnums=(0,))
+        step = _jit_step(
+            partial(steps_lib.make_kd_crd_step,
+                    self.student_model, self.teacher_model, self.bin_size,
+                    self.temperature, device_augment=self.device_augment,
+                    device_views=self.device_views,
+                    int8_teacher=self.int8_teacher),
+            self.shape_bank, self.mesh, donate=(0,))
         return self._student_loop(step, self._view_keys(), epochs, start_epoch,
                                   "crd")
 
     # ---------------- stage 2 ----------------
     def fit_stage2(self, epochs: int, start_epoch: int = 0):
-        step = jax.jit(steps_lib.make_stage2_step(
-            self.student_model, self.teacher_model, self.bin_size, self.temperature,
-            device_views=self.device_views, int8_teacher=self.int8_teacher,
-            shape_bank=self.shape_bank),
-            donate_argnums=(0,))
+        step = _jit_step(
+            partial(steps_lib.make_stage2_step,
+                    self.student_model, self.teacher_model, self.bin_size,
+                    self.temperature, device_views=self.device_views,
+                    int8_teacher=self.int8_teacher),
+            self.shape_bank, self.mesh, donate=(0,))
         return self._student_loop(step, self._view_keys(), epochs, start_epoch,
                                   "stage2")
 
@@ -456,12 +481,12 @@ class KDTrainer(_Base):
         NCE is in-batch only) — the negative pool is enlarged with past
         teacher features; the bank rides along as explicit step state."""
         assert self.teacher_state is not None, "stage 1 trains the teacher too"
-        step = jax.jit(steps_lib.make_stage1_step(
-            self.teacher_model, self.student_model, self.bin_size, self.tau,
-            use_memory_bank=use_memory_bank,
-            use_fused_nce=self.use_fused_nce,
-            shape_bank=self.shape_bank),
-            donate_argnums=(0, 1))
+        step = _jit_step(
+            partial(steps_lib.make_stage1_step,
+                    self.teacher_model, self.student_model, self.bin_size,
+                    self.tau, use_memory_bank=use_memory_bank,
+                    use_fused_nce=self.use_fused_nce),
+            self.shape_bank, self.mesh, donate=(0, 1))
         bank = None
         if use_memory_bank:
             from pose3d_tpu.losses import init_memory_bank

@@ -162,9 +162,9 @@ def test_kd_step_equivalence_full_subset(bank_fixture):
     step_host = steps.make_kd_crd_step(student, teacher, bin_size=15,
                                        device_views=True)
     step_dev = steps.make_kd_crd_step(student, teacher, bin_size=15,
-                                      device_views=True, shape_bank=bank)
+                                      device_views=True, with_shape_bank=True)
     _, m_host = step_host(state, tvars, b_host)
-    _, m_dev = step_dev(state, tvars, b_dev)
+    _, m_dev = step_dev(bank, state, tvars, b_dev)
     np.testing.assert_allclose(float(m_dev["loss"]), float(m_host["loss"]),
                                rtol=2e-5)
     assert np.isfinite(float(m_dev["loss"]))
@@ -204,14 +204,15 @@ def test_multidevice_bank_step_matches_single_device():
                                jax.random.key(0), optax.sgd(0.1))
     tvars = teacher.init(jax.random.key(1), jnp.zeros((1, img, img, 3)),
                          jnp.zeros((1, pts, 3)), train=False)
-    step = jax.jit(steps.make_teacher_train_step(teacher, shape_bank=bank))
+    step = jax.jit(steps.make_teacher_train_step(teacher, with_shape_bank=True))
     t_state = create_train_state(
         teacher, (jnp.zeros((1, img, img, 3)), jnp.zeros((1, pts, 3))),
         jax.random.key(2), optax.sgd(0.1))
-    ref_state, ref_metrics = step(t_state, batch)
+    ref_state, ref_metrics = step(bank, t_state, batch)
 
     mesh = make_mesh(jax.devices()[:8])
-    out_state, out_metrics = step(replicate(t_state, mesh),
+    out_state, out_metrics = step(replicate(bank, mesh),
+                                  replicate(t_state, mesh),
                                   shard_batch(batch, mesh))
     assert float(ref_metrics["loss"]) == pytest.approx(
         float(out_metrics["loss"]), rel=1e-4)
@@ -289,9 +290,9 @@ def test_mv_dataset_emission_and_teacher_step(mv_fixture):
     renders, id_table = ds_dev.build_render_bank()
     bank = sb.RenderBank.from_arrays(renders, id_table)
     step_host = steps.make_teacher_train_step(teacher)
-    step_dev = steps.make_teacher_train_step(teacher, shape_bank=bank)
+    step_dev = steps.make_teacher_train_step(teacher, with_shape_bank=True)
     _, m_host = step_host(state, b_host)
-    _, m_dev = step_dev(state, b_dev)
+    _, m_dev = step_dev(bank, state, b_dev)
     np.testing.assert_allclose(float(m_dev["loss"]), float(m_host["loss"]),
                                rtol=2e-5)
 
@@ -322,8 +323,8 @@ def test_eval_step_render_bank_matches_host(mv_fixture):
     renders, id_table = ds_dev.build_render_bank()
     bank = sb.RenderBank.from_arrays(renders, id_table)
     m_host = steps.make_eval_step(teacher, "teacher")(variables, b_host)
-    m_dev = steps.make_eval_step(teacher, "teacher", shape_bank=bank)(
-        variables, b_dev)
+    m_dev = steps.make_eval_step(teacher, "teacher", with_shape_bank=True)(
+        bank, variables, b_dev)
     np.testing.assert_allclose(np.asarray(m_dev["pred"]),
                                np.asarray(m_host["pred"]), atol=1e-3)
     np.testing.assert_allclose(float(m_dev["loss"]), float(m_host["loss"]),
