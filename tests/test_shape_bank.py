@@ -173,7 +173,8 @@ def test_kd_step_equivalence_full_subset(bank_fixture):
 def test_multidevice_bank_step_matches_single_device():
     """Bank sampling is seed-pure per sample, so GSPMD over 8 devices must
     reproduce the single-device loss exactly like the host-shape path does
-    (the bank rides into the jit as a replicated constant)."""
+    (the bank is the step's first traced argument, replicated over the
+    mesh like any other state — see steps._shape_of)."""
     import optax
 
     from pose3d_tpu.models.estimators import BaselineEstimator, PoseEstimator
