@@ -24,7 +24,9 @@ from pose3d_tpu.data import transforms as T
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--ckpt", type=str, required=True)
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="trained checkpoint (required unless serving "
+                             "from an AOT artifact via --load_aot)")
     parser.add_argument("--img_path", type=str, required=True)
     parser.add_argument("--img_feature_dim", type=int, default=2048)
     parser.add_argument("--bin_size", type=int, default=15)
@@ -50,7 +52,27 @@ def parse_args(argv=None):
     parser.add_argument("--load_quantized", type=str, default=None,
                         help="with --int8: load a previously saved .npz "
                              "instead of calibrating")
+    # AOT serving artifacts (serving/aot.py): a single serialized StableHLO
+    # module with the weights baked in — batch-polymorphic, cpu+tpu, needs
+    # no model code or checkpoint at serving time.
+    parser.add_argument("--export_aot", type=str, default=None,
+                        help="write a self-contained AOT serving artifact "
+                             "(student, or PointCloud teacher with "
+                             "--ply_path; honors --int8) to this path")
+    parser.add_argument("--load_aot", type=str, default=None,
+                        help="serve from an AOT artifact instead of a "
+                             "checkpoint (--ckpt not needed)")
     return parser.parse_args(argv)
+
+
+def _sample_cloud(opt):
+    """Deterministic (1, point_num, 3) cloud from --ply_path (seed 0, same
+    draw in live and AOT modes so predictions are comparable)."""
+    from pose3d_tpu.data import ply
+
+    verts = ply.load_vertices(opt.ply_path)
+    return T.sample_pointcloud(verts, opt.point_num, 0,
+                               np.random.default_rng(0))[None]
 
 
 def main(argv=None):
@@ -61,16 +83,32 @@ def main(argv=None):
     im = T.resize_pad(im, opt.input_dim)
     arr = T.normalize_image(T.to_float_array(im))[None]
 
+    if opt.load_aot:
+        # serve from the baked artifact: no model build, no checkpoint.
+        from pose3d_tpu.serving import aot
+
+        artifact = aot.load_serving(opt.load_aot)
+        if artifact.n_inputs == 2:  # teacher artifact: image + point cloud
+            if not opt.ply_path:
+                raise SystemExit("this AOT artifact is a teacher (image + "
+                                 "point cloud) — pass --ply_path")
+            pc = _sample_cloud(opt)
+            vp = np.array(artifact(arr, pc))[0]
+        else:
+            vp = np.array(artifact(arr))[0]
+        vp[1] -= 90.0
+        vp[2] -= 180.0
+        print("pred_azi=%.2f pred_ele=%.2f pred_inp=%.2f" % tuple(vp))
+        return vp
+    if not opt.ckpt:
+        raise SystemExit("--ckpt is required unless --load_aot is given")
+
     if opt.ply_path:
         opt.shape = "PointCloud"
         opt.view_num = 12
         model = common.build_teacher(opt, img_feature_dim=opt.img_feature_dim
                                      if opt.img_feature_dim != 2048 else 1024)
-        from pose3d_tpu.data import ply
-
-        verts = ply.load_vertices(opt.ply_path)
-        pc = T.sample_pointcloud(verts, opt.point_num, 0,
-                                 np.random.default_rng(0))[None]
+        pc = _sample_cloud(opt)
         variables = model.init(jax.random.key(0), jnp.asarray(arr),
                                jnp.asarray(pc), train=False)
         variables = _load_ckpt_into(variables, opt.ckpt)
@@ -109,6 +147,21 @@ def main(argv=None):
                 return geometry.decode_predictions_inference(
                     tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
 
+        if opt.export_aot:
+            from pose3d_tpu.serving import aot
+
+            if opt.int8:
+                def fn(x, p):
+                    outputs = int8_infer(q, variables, x, p)
+                    return geometry.decode_predictions_inference(
+                        tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+            else:
+                fn = aot.teacher_decode_fn(model, variables, opt.bin_size)
+            aot.save_serving(
+                aot.export_fn(fn, ((opt.input_dim, opt.input_dim, 3),
+                                   (opt.point_num, 3))), opt.export_aot)
+            print(f"AOT serving artifact saved to {opt.export_aot}")
+
         vp = np.array(infer(variables, jnp.asarray(arr), jnp.asarray(pc)))[0]
     else:
         model = common.build_student(opt, img_feature_dim=opt.img_feature_dim)
@@ -142,6 +195,16 @@ def main(argv=None):
                 outputs, _ = model.apply(v, x, train=False)
                 return geometry.decode_predictions_inference(
                     tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+
+        if opt.export_aot:
+            from pose3d_tpu.serving import aot
+
+            fn = (aot.student_int8_decode_fn(variables, opt.bin_size)
+                  if opt.int8 else
+                  aot.student_decode_fn(model, variables, opt.bin_size))
+            aot.save_serving(aot.export_serving(fn, opt.input_dim),
+                             opt.export_aot)
+            print(f"AOT serving artifact saved to {opt.export_aot}")
 
         vp = np.array(infer(variables, jnp.asarray(arr)))[0]  # copy: device arrays are read-only
     # back to annotation convention (inference_imageBased.py:61-62)

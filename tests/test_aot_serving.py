@@ -1,0 +1,128 @@
+"""AOT serving artifacts (pose3d_tpu/serving/aot.py).
+
+The artifact must be (1) self-contained — calling the deserialized module
+reproduces the live jitted forward bit-for-bit with no model code or
+checkpoint, (2) batch-polymorphic — one export serves any leading dim, and
+(3) reachable end-to-end from the inference CLI (--export_aot / --load_aot,
+the latter with no --ckpt at all).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pose3d_tpu.models import BaselineEstimator
+from pose3d_tpu.serving import aot
+
+
+def _small_student(rng):
+    m = BaselineEstimator(img_feature_dim=256)
+    im = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), im[:1], train=False)
+    return m, v
+
+
+def test_aot_roundtrip_batch_polymorphic(tmp_path):
+    rng = np.random.default_rng(0)
+    m, v = _small_student(rng)
+    fn = aot.student_decode_fn(m, v, bin_size=15)
+
+    path = str(tmp_path / "student.aot")
+    aot.save_serving(aot.export_serving(fn, 64), path)
+    art = aot.load_serving(path)
+    assert art.input_dim == 64
+    assert "cpu" in art.platforms
+
+    live = jax.jit(fn)
+    for b in (1, 3):  # one export, two batch sizes
+        x = rng.standard_normal((b, 64, 64, 3)).astype(np.float32)
+        got = np.asarray(art(x))
+        want = np.asarray(live(jnp.asarray(x)))
+        assert got.shape == (b, 3)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_aot_int8_roundtrip(tmp_path):
+    from pose3d_tpu.serving import quantize_student
+
+    rng = np.random.default_rng(1)
+    m, v = _small_student(rng)
+    calib = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    q = quantize_student(v, [calib])
+    fn = aot.student_int8_decode_fn(q, bin_size=15)
+
+    path = str(tmp_path / "student_int8.aot")
+    aot.save_serving(aot.export_serving(fn, 64), path)
+    art = aot.load_serving(path)
+
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    np.testing.assert_array_equal(np.asarray(art(x)),
+                                  np.asarray(jax.jit(fn)(jnp.asarray(x))))
+
+
+def test_aot_teacher_two_input_roundtrip(tmp_path):
+    """Teacher artifact: (image, point cloud) exported together, batch
+    symbolic across BOTH inputs."""
+    from pose3d_tpu.models import PoseEstimator
+
+    rng = np.random.default_rng(3)
+    m = PoseEstimator(shape="PointCloud", img_feature_dim=1024,
+                      shape_feature_dim=1024)
+    im = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    pc = jnp.asarray(rng.standard_normal((1, 100, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), im, pc, train=False)
+    fn = aot.teacher_decode_fn(m, v, bin_size=15)
+
+    path = str(tmp_path / "teacher.aot")
+    aot.save_serving(aot.export_fn(fn, ((64, 64, 3), (100, 3))), path)
+    art = aot.load_serving(path)
+    assert art.n_inputs == 2
+
+    for b in (1, 2):
+        x = rng.standard_normal((b, 64, 64, 3)).astype(np.float32)
+        p = rng.standard_normal((b, 100, 3)).astype(np.float32)
+        got = np.asarray(art(x, p))
+        want = np.asarray(jax.jit(fn)(jnp.asarray(x), jnp.asarray(p)))
+        assert got.shape == (b, 3)
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_inference_cli_aot_roundtrip(tmp_path):
+    """--export_aot then --load_aot (no --ckpt) print the same prediction."""
+    from PIL import Image
+
+    from pose3d_tpu.cli import inference
+    from pose3d_tpu.train.ckpt import Checkpointer
+
+    rng = np.random.default_rng(2)
+    m, v = _small_student(rng)
+    Checkpointer(str(tmp_path)).save("model_best", v)
+
+    img_path = str(tmp_path / "im.png")
+    Image.fromarray(rng.integers(0, 255, (80, 60, 3), dtype=np.uint8)
+                    ).save(img_path)
+    artifact = str(tmp_path / "student.aot")
+
+    vp1 = inference.main(["--ckpt", os.path.join(str(tmp_path), "model_best"),
+                          "--img_path", img_path, "--img_feature_dim", "256",
+                          "--input_dim", "64", "--export_aot", artifact])
+    assert os.path.exists(artifact)
+    vp2 = inference.main(["--img_path", img_path, "--input_dim", "64",
+                          "--load_aot", artifact])
+    np.testing.assert_allclose(np.asarray(vp2), np.asarray(vp1),
+                               rtol=0, atol=1e-5)
+
+
+def test_plain_inference_without_ckpt_exits(tmp_path):
+    from PIL import Image
+
+    from pose3d_tpu.cli import inference
+
+    img_path = str(tmp_path / "im.png")
+    Image.fromarray(np.zeros((8, 8, 3), dtype=np.uint8)).save(img_path)
+    with pytest.raises(SystemExit):
+        inference.main(["--img_path", img_path])

@@ -46,6 +46,7 @@ def test_all_modules_import():
         "pose3d_tpu.train.evaluate", "pose3d_tpu.train.evaluation_api",
         "pose3d_tpu.train.trainer", "pose3d_tpu.train.ckpt",
         "pose3d_tpu.train.torch_import",
+        "pose3d_tpu.serving.aot",
         "pose3d_tpu.utils", "pose3d_tpu.cli.common", "pose3d_tpu.cli.training",
         "pose3d_tpu.cli.trainingKD", "pose3d_tpu.cli.testing",
         "pose3d_tpu.cli.inference", "pose3d_tpu.cli.vis_tsne",
