@@ -15,9 +15,10 @@ a single serialized StableHLO module:
   * version-pinned — jax.export's calling-convention versioning and its
     platform/shape safety checks run at call time, unlike a pickled fn.
 
-Both serving families export through the same entry point: the bf16 flax
-eval graph and the int8 PTQ graph (serving/quant_student.py) are each just
-a `fn(images) -> (b, 3)` closure here. Weights ride as closed-over arrays,
+Every serving family exports through the same entry point: the bf16 flax
+eval graphs (student, PointCloud/MultiView teacher) and the int8 PTQ graph
+(serving/quant_student.py) are each just a `fn(*inputs) -> (b, 3)` closure
+here. Weights ride as closed-over arrays,
 which `jax.export` hoists into module constants — this is the one place
 where embedding weights in the graph is the POINT (a frozen artifact), in
 deliberate contrast to the live-serving rule that params stay jit
@@ -69,11 +70,12 @@ def student_int8_decode_fn(q, bin_size):
 
 
 def teacher_decode_fn(model, variables, bin_size):
-    """(images (b, H, W, 3), clouds (b, P, 3)) -> decoded viewpoints (b, 3).
+    """(images (b, H, W, 3), shape input) -> decoded viewpoints (b, 3).
 
-    PointCloud-teacher eval forward + the inference decoder; the shape input
-    is exported alongside the image, so one artifact serves any (image,
-    cloud) pair at any batch size.
+    Teacher eval forward + the inference decoder; the shape input —
+    clouds (b, P, 3) for PointCloud, renders (b, K, h, w, 3) for MultiView
+    — is exported alongside the image, so one artifact serves any (image,
+    shape) pair at any batch size.
     """
 
     def fn(x, pc):

@@ -90,6 +90,30 @@ def test_aot_teacher_two_input_roundtrip(tmp_path):
         np.testing.assert_array_equal(got, want)
 
 
+def test_aot_teacher_multiview_roundtrip(tmp_path):
+    """MultiView teacher: renders ride as the second exported input."""
+    from pose3d_tpu.models import PoseEstimator
+
+    rng = np.random.default_rng(4)
+    m = PoseEstimator(shape="MultiView", view_num=3, img_feature_dim=64,
+                      shape_feature_dim=32)
+    im = jnp.asarray(rng.standard_normal((1, 64, 64, 3)), jnp.float32)
+    mv = jnp.asarray(rng.standard_normal((1, 3, 32, 32, 3)), jnp.float32)
+    v = m.init(jax.random.key(0), im, mv, train=False)
+    fn = aot.teacher_decode_fn(m, v, bin_size=15)
+
+    path = str(tmp_path / "teacher_mv.aot")
+    aot.save_serving(aot.export_fn(fn, ((64, 64, 3), (3, 32, 32, 3))), path)
+    art = aot.load_serving(path)
+
+    x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+    r = rng.standard_normal((2, 3, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(art(x, r))
+    want = np.asarray(jax.jit(fn)(jnp.asarray(x), jnp.asarray(r)))
+    assert got.shape == (2, 3)
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.slow
 def test_inference_cli_aot_roundtrip(tmp_path):
     """--export_aot then --load_aot (no --ckpt) print the same prediction."""
