@@ -39,20 +39,34 @@ def init_memory_bank(size: int, dim: int, dtype=jnp.float32) -> MemoryBank:
     )
 
 
-def enqueue(bank: MemoryBank, features: jnp.ndarray) -> MemoryBank:
+def enqueue(bank: MemoryBank, features: jnp.ndarray,
+            valid: jnp.ndarray | None = None) -> MemoryBank:
     """FIFO insert of a (normalized) feature batch. Static batch size; a
     single scatter (`queue.at[idx].set`) with modular indices handles
-    wraparound without data-dependent shapes (jit-safe)."""
+    wraparound without data-dependent shapes (jit-safe).
+
+    `valid` (bool (N,), optional) skips padded rows: invalid rows' write
+    indices are redirected out of range and dropped (`mode="drop"`), valid
+    rows are compacted to consecutive slots via a cumsum, and ptr/filled
+    advance by the VALID count only — a padded DP batch (parallel/mesh.
+    pad_batch) therefore enqueues exactly the features an unpadded run would,
+    no duplicates."""
     feats = _l2_normalize(jax.lax.stop_gradient(features.astype(bank.queue.dtype)))
     k = bank.queue.shape[0]
     b = feats.shape[0]
-    # write at ptr, wrapping: split into [ptr, min(ptr+b, k)) and the wrapped head
-    idx = (bank.ptr + jnp.arange(b, dtype=jnp.int32)) % k
-    queue = bank.queue.at[idx].set(feats)
+    if valid is None:
+        idx = (bank.ptr + jnp.arange(b, dtype=jnp.int32)) % k
+        n_written = jnp.asarray(b, jnp.int32)
+    else:
+        v = valid.astype(jnp.int32)
+        slot = jnp.cumsum(v) - 1  # position among valid rows
+        idx = jnp.where(v > 0, (bank.ptr + slot) % k, k)  # k = OOB -> dropped
+        n_written = jnp.sum(v)
+    queue = bank.queue.at[idx].set(feats, mode="drop")
     return MemoryBank(
         queue=queue,
-        ptr=(bank.ptr + b) % k,
-        filled=jnp.minimum(bank.filled + b, k),
+        ptr=(bank.ptr + n_written) % k,
+        filled=jnp.minimum(bank.filled + n_written, k),
     )
 
 

@@ -410,9 +410,9 @@ def make_stage1_step(
         if use_memory_bank:
             from pose3d_tpu.losses import enqueue
 
-            # NOTE: padded rows (replicas of real samples) are enqueued too —
-            # duplicate features in the negative pool, statistically harmless
-            bank = enqueue(bank, t_feat)
+            # padded rows are masked out of the enqueue (compacted scatter,
+            # losses/memory_bank.py) — the queue holds only real features
+            bank = enqueue(bank, t_feat, valid=_valid_of(batch))
             return teacher_state, student_state, metrics, bank
         return teacher_state, student_state, metrics
 

