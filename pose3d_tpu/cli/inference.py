@@ -6,6 +6,16 @@ SURVEY.md §2 #24): loads a student checkpoint, resize-pads the image to 224,
 normalizes, runs the inference decoder (compute_vp_pred: (bin + raw delta) *
 bin_size clamped to [0, 360]) and converts back to annotation convention
 (ele -= 90, inp -= 180).
+
+Teacher modes (both broken-in-the-reference paths, working here):
+  * --ply_path  — PointCloud teacher (image + sampled cloud);
+  * --render_dir — MultiView teacher (image + a (1, K, h, w, 3) render ring
+    read with the reference's azimuth-ring index arithmetic,
+    reference inference.py:55-107 / dataset.py:84-118).
+Both support --int8 and --export_aot/--load_aot. AOT artifacts record their
+own input geometry: --load_aot resizes the image to the ARTIFACT's input_dim,
+samples the artifact's point count, and tells cloud from render teachers by
+the second input's rank (3 = cloud, 5 = renders).
 """
 
 from __future__ import annotations
@@ -35,7 +45,15 @@ def parse_args(argv=None):
     # teacher-mode inference (the reference's teacher demo inference.py is
     # broken — imports a missing module; this is the working equivalent)
     parser.add_argument("--ply_path", type=str, default=None,
-                        help="point cloud for teacher-mode inference")
+                        help="point cloud for PointCloud-teacher inference")
+    parser.add_argument("--render_dir", type=str, default=None,
+                        help="directory of CAD render crops for MultiView-"
+                             "teacher inference (the reference inference.py "
+                             "render path, minus its missing-module crash)")
+    parser.add_argument("--view_num", type=int, default=12)
+    parser.add_argument("--tour", type=int, default=2)
+    parser.add_argument("--mutation", type=int, default=0,
+                        help="azimuth-ring roll for --render_dir")
     parser.add_argument("--shape_feature_dim", type=int, default=1024)
     parser.add_argument("--point_num", type=int, default=2500)
     # int8 serving path: PTQ calibrated on the input image itself — fine for
@@ -65,35 +83,80 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def _sample_cloud(opt):
+def _sample_cloud(opt, point_num=None):
     """Deterministic (1, point_num, 3) cloud from --ply_path (seed 0, same
     draw in live and AOT modes so predictions are comparable)."""
     from pose3d_tpu.data import ply
 
     verts = ply.load_vertices(opt.ply_path)
-    return T.sample_pointcloud(verts, opt.point_num, 0,
+    return T.sample_pointcloud(verts, point_num or opt.point_num, 0,
                                np.random.default_rng(0))[None]
+
+
+def _load_renders(render_dir, view_num, tour, mutation, size):
+    """(1, view_num, size, size, 3) f32 render ring from a crop directory —
+    the reference's read_multiviwes semantics (dataset.py:84-118): sorted
+    file list indexed by the azimuth-ring arithmetic."""
+    import os
+
+    names = sorted(os.listdir(render_dir))
+    ids = T.multiview_ids(view_num, tour, mutation)
+    if len(names) <= int(ids.max()):
+        raise SystemExit(f"--render_dir has {len(names)} files; the "
+                         f"view_num={view_num}/tour={tour} ring needs "
+                         f"{int(ids.max()) + 1}")
+    renders = []
+    for i in ids:
+        im = Image.open(os.path.join(render_dir, names[int(i)])).convert("RGB")
+        if im.size != (size, size):
+            im = im.resize((size, size), Image.BILINEAR)
+        renders.append(T.to_float_array(im))
+    return np.stack(renders)[None].astype(np.float32)
+
+
+def _prep_image(opt, input_dim):
+    im = Image.open(opt.img_path).convert("RGB")
+    im = T.resize_pad(im, input_dim)
+    return T.normalize_image(T.to_float_array(im))[None]
 
 
 def main(argv=None):
     opt = parse_args(argv)
     from pose3d_tpu.cli.trainingKD import _load_ckpt_into
 
-    im = Image.open(opt.img_path).convert("RGB")
-    im = T.resize_pad(im, opt.input_dim)
-    arr = T.normalize_image(T.to_float_array(im))[None]
+    if opt.ply_path and opt.render_dir:
+        raise SystemExit("--ply_path (PointCloud teacher) and --render_dir "
+                         "(MultiView teacher) are mutually exclusive")
 
     if opt.load_aot:
-        # serve from the baked artifact: no model build, no checkpoint.
+        # serve from the baked artifact: no model build, no checkpoint. The
+        # artifact's OWN recorded geometry drives the preprocessing (image
+        # size, point count, view count) — the CLI flags that produced the
+        # export need not be repeated (ADVICE r4).
         from pose3d_tpu.serving import aot
 
         artifact = aot.load_serving(opt.load_aot)
-        if artifact.n_inputs == 2:  # teacher artifact: image + point cloud
-            if not opt.ply_path:
-                raise SystemExit("this AOT artifact is a teacher (image + "
-                                 "point cloud) — pass --ply_path")
-            pc = _sample_cloud(opt)
-            vp = np.array(artifact(arr, pc))[0]
+        arr = _prep_image(opt, artifact.input_dim)
+        if artifact.n_inputs == 2:
+            shape_in = artifact.in_shapes[1]
+            if len(shape_in) == 2:  # (P, 3): PointCloud teacher
+                if not opt.ply_path:
+                    raise SystemExit("this AOT artifact is a PointCloud "
+                                     "teacher (image + cloud) — pass "
+                                     "--ply_path")
+                pc = _sample_cloud(opt, point_num=shape_in[0])
+                vp = np.array(artifact(arr, pc))[0]
+            elif len(shape_in) == 4:  # (K, h, w, 3): MultiView teacher
+                if not opt.render_dir:
+                    raise SystemExit("this AOT artifact is a MultiView "
+                                     "teacher (image + render ring) — pass "
+                                     "--render_dir")
+                renders = _load_renders(opt.render_dir, shape_in[0], opt.tour,
+                                        opt.mutation, shape_in[1])
+                vp = np.array(artifact(arr, renders))[0]
+            else:
+                raise SystemExit("unrecognized teacher artifact: second "
+                                 f"input shape {shape_in}")
         else:
             vp = np.array(artifact(arr))[0]
         vp[1] -= 90.0
@@ -102,8 +165,66 @@ def main(argv=None):
         return vp
     if not opt.ckpt:
         raise SystemExit("--ckpt is required unless --load_aot is given")
+    arr = _prep_image(opt, opt.input_dim)
 
-    if opt.ply_path:
+    if opt.render_dir:
+        # MultiView teacher: the working equivalent of the reference's
+        # broken render-based inference.py (SURVEY.md §2 #24)
+        opt.shape = "MultiView"
+        model = common.build_teacher(opt, img_feature_dim=opt.img_feature_dim
+                                     if opt.img_feature_dim != 2048 else 1024)
+        renders = _load_renders(opt.render_dir, opt.view_num, opt.tour,
+                                opt.mutation, opt.input_dim)
+        variables = model.init(jax.random.key(0), jnp.asarray(arr),
+                               jnp.asarray(renders), train=False)
+        variables = _load_ckpt_into(variables, opt.ckpt)
+
+        if opt.int8:
+            from pose3d_tpu.serving.quant_teacher import (
+                make_teacher_int8_infer, quantize_teacher_mv)
+
+            q = quantize_teacher_mv(variables, [arr], [renders])
+            if opt.save_quantized:
+                from pose3d_tpu.serving import save_quantized
+
+                save_quantized(q, opt.save_quantized)
+                print(f"quantized MV teacher saved to {opt.save_quantized}")
+            int8_infer = make_teacher_int8_infer(model)
+
+            @jax.jit
+            def _infer_q(qq, v, x, r):
+                outputs = int8_infer(qq, v, x, r)
+                return geometry.decode_predictions_inference(
+                    tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+
+            def infer(v, x, r):
+                return _infer_q(q, v, x, r)
+        else:
+            @jax.jit
+            def infer(v, x, r):
+                outputs, _, _ = model.apply(v, x, r, train=False)
+                return geometry.decode_predictions_inference(
+                    tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+
+        if opt.export_aot:
+            from pose3d_tpu.serving import aot
+
+            if opt.int8:
+                def fn(x, r):
+                    outputs = int8_infer(q, variables, x, r)
+                    return geometry.decode_predictions_inference(
+                        tuple(outputs[:3]), tuple(outputs[3:]), opt.bin_size)
+            else:
+                fn = aot.teacher_decode_fn(model, variables, opt.bin_size)
+            aot.save_serving(
+                aot.export_fn(fn, ((opt.input_dim, opt.input_dim, 3),
+                                   (opt.view_num, opt.input_dim,
+                                    opt.input_dim, 3))), opt.export_aot)
+            print(f"AOT serving artifact saved to {opt.export_aot}")
+
+        vp = np.array(infer(variables, jnp.asarray(arr),
+                            jnp.asarray(renders)))[0]
+    elif opt.ply_path:
         opt.shape = "PointCloud"
         opt.view_num = 12
         model = common.build_teacher(opt, img_feature_dim=opt.img_feature_dim

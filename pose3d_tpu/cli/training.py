@@ -50,8 +50,27 @@ def parse_args(argv=None):
                              "the cloud on-device; PointCloud only")
     parser.add_argument("--device_augment", action="store_true",
                         help="run photometric augs + normalize on-device")
+    parser.add_argument("--nce", type=str, default="info",
+                        choices=["info", "pose", "multipose"],
+                        help="contrastive term for the teacher loss: 'info' "
+                             "(infoNCE_KD, the reference recipe) or the "
+                             "pose-weighted family (poseNCE_KD / "
+                             "multiposeNCE_KD — implemented but dead in the "
+                             "reference, model_utils.py:225-261/306-351; "
+                             "opt-in here)")
+    parser.add_argument("--weighting", type=str, default=None,
+                        choices=["linear", "square", "sqrt", "sin", "sinsin"],
+                        help="pose-distance weighting scheme; requires "
+                             "--nce pose")
     opt = parser.parse_args(argv)
     common.normalize_shape(opt)
+    if opt.weighting is not None and opt.nce != "pose":
+        raise SystemExit("--weighting is consumed only by --nce pose "
+                         "(refusing to accept-and-ignore it)")
+    if opt.nce != "info" and opt.shape is None:
+        raise SystemExit("--nce pose/multipose applies to teacher training "
+                         "(--shape ...); the RGB baseline has no "
+                         "contrastive term")
     return opt
 
 
@@ -143,7 +162,9 @@ def main(argv=None):
                                  device_augment=opt.device_augment,
                                  use_fused_nce=opt.fused_nce,
                                  shape_bank=common.maybe_shape_bank(
-                                     opt, dataset_train))
+                                     opt, dataset_train),
+                                 nce_variant=opt.nce,
+                                 nce_weighting=opt.weighting or "linear")
     trainer.profile_dir = opt.profile_dir
     start_epoch = 0
     if opt.resume:

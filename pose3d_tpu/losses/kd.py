@@ -41,10 +41,17 @@ def temperature_scaled_kl(
 
 
 def gaussian_vid_loss(
-    pred_mean: jnp.ndarray, pred_var: jnp.ndarray, target: jnp.ndarray
+    pred_mean: jnp.ndarray, pred_var: jnp.ndarray, target: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """VID Gaussian loss: mean(0.5 * ((mu - y)^2 / var + log var))."""
-    return jnp.mean(0.5 * ((pred_mean - target) ** 2 / pred_var + jnp.log(pred_var)))
+    """VID Gaussian loss: mean(0.5 * ((mu - y)^2 / var + log var)).
+    `valid` (bool (N,)) masks padded batch rows out of the mean."""
+    per = 0.5 * ((pred_mean - target) ** 2 / pred_var + jnp.log(pred_var))
+    if valid is None:
+        return jnp.mean(per)
+    per_row = jnp.mean(per, axis=tuple(range(1, per.ndim)))
+    v = valid.astype(per_row.dtype)
+    return jnp.sum(per_row * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
 def kd_loss(
@@ -92,13 +99,19 @@ def vid_loss(
     teacher_features: jnp.ndarray,
     pred_var: jnp.ndarray | None = None,
     temperature: float = 1.0,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """0.6*CE + 0.2*meanKL + 0.2*VID (vanilla_kd.py:167-195)."""
+    """0.6*CE + 0.2*meanKL + 0.2*VID (vanilla_kd.py:167-195).
+
+    Dormant in the reference (calculate_vid_loss has no caller); wired here
+    as the opt-in `--vid` KD loss (cli/trainingKD.py -> steps.make_kd_crd_step
+    loss_variant='vid'). `valid` masks padded batch rows everywhere."""
     ce_weight, kl_weight, vid_weight = 0.6, 0.2, 0.2
     kl = jnp.asarray(0.0, dtype=jnp.float32)
     for s, t in zip(student_outputs, teacher_outputs):
-        kl = kl + temperature_scaled_kl(s, t, temperature) / 6.0
+        kl = kl + temperature_scaled_kl(s, t, temperature, valid) / 6.0
     if pred_var is None:
         pred_var = jnp.ones_like(student_features)
-    vid = gaussian_vid_loss(student_features, pred_var, teacher_features)
+    vid = gaussian_vid_loss(student_features, pred_var, teacher_features,
+                            valid=valid)
     return ce_weight * student_loss + kl_weight * kl + vid_weight * vid

@@ -99,14 +99,20 @@ def pose_nce(
     labels_deg: jnp.ndarray,
     tau: float = 0.1,
     weighting: str = "linear",
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Pose-distance-weighted NCE, negatives from feat_ori (model_utils.py:187-223)."""
+    """Pose-distance-weighted NCE, negatives from feat_ori (model_utils.py:187-223).
+    `valid` (bool (N,)) masks padded rows out of the negative pool (their
+    weight is zeroed) and the mean — the padded-DP-batch contract of
+    info_nce_kd(valid=...)."""
     feat_ori = _l2_normalize(feat_ori)
     feat_pos = _l2_normalize(feat_pos)
     dist = _pairwise_pose_distance(labels_deg, weighting)
+    if valid is not None:
+        dist = dist * valid[None, :].astype(dist.dtype)
     pos = jnp.sum(feat_ori * feat_pos, axis=-1) / tau
     neg = (feat_ori @ feat_ori.T) / tau
-    return _weighted_nce(pos, neg, dist)
+    return _weighted_nce(pos, neg, dist, valid)
 
 
 def pose_nce_kd(
@@ -115,14 +121,18 @@ def pose_nce_kd(
     labels_deg: jnp.ndarray,
     tau: float = 0.1,
     weighting: str = "linear",
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Pose-distance-weighted NCE, negatives from feat_pos (model_utils.py:225-261)."""
+    """Pose-distance-weighted NCE, negatives from feat_pos (model_utils.py:225-261).
+    `valid`: see pose_nce."""
     feat_ori = _l2_normalize(feat_ori)
     feat_pos = _l2_normalize(feat_pos)
     dist = _pairwise_pose_distance(labels_deg, weighting)
+    if valid is not None:
+        dist = dist * valid[None, :].astype(dist.dtype)
     pos = jnp.sum(feat_ori * feat_pos, axis=-1) / tau
     neg = (feat_ori @ feat_pos.T) / tau
-    return _weighted_nce(pos, neg, dist)
+    return _weighted_nce(pos, neg, dist, valid)
 
 
 def info_nce_kd_per_sample(
@@ -200,11 +210,13 @@ def multi_pose_nce_kd(
     labels_deg: jnp.ndarray,
     tau: float = 0.1,
     threshold: float = 30.0,
+    valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Multi-positive NCE: every sample whose pose is within `threshold`
     degrees counts as a positive (model_utils.py:306-351). The reference's
     O(b^2) Python double loop building the mask is replaced by a vectorized
-    comparison — same mask, one fused VPU op."""
+    comparison — same mask, one fused VPU op. `valid` (bool (N,)) masks
+    padded rows out of positives, negatives and the mean."""
     feat_ori = _l2_normalize(feat_ori)
     feat_pos = _l2_normalize(feat_pos)
     n = feat_ori.shape[0]
@@ -214,9 +226,19 @@ def multi_pose_nce_kd(
     logits = (feat_ori @ feat_pos.T) / tau
     m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
     exp_logits = jnp.exp(logits - m)
+    if valid is not None:
+        exp_logits = exp_logits * valid[None, :].astype(exp_logits.dtype)
     l_pos = jnp.sum(exp_logits * mask, axis=-1)
+    if valid is not None:
+        # an INVALID row's own diagonal is masked -> l_pos would be 0 and
+        # log(0) * 0-weight = NaN; clamp (valid rows always exceed this)
+        l_pos = jnp.maximum(l_pos, 1e-30)
     denom = l_pos + jnp.sum(exp_logits, axis=-1)
-    return jnp.mean(-(jnp.log(l_pos) - jnp.log(denom)))
+    per_row = -(jnp.log(l_pos) - jnp.log(denom))
+    if valid is None:
+        return jnp.mean(per_row)
+    v = valid.astype(per_row.dtype)
+    return jnp.sum(per_row * v) / jnp.maximum(jnp.sum(v), 1.0)
 
 
 def _pairwise_pose_distance_raw(labels_deg: jnp.ndarray) -> jnp.ndarray:

@@ -9,12 +9,26 @@ floats), and the backward recomputes z blockwise in two passes (row-major
 for ds, col-major for dt) so each output block stays resident across its
 inner accumulation loop (Pallas output-revisit rule).
 
-Masking: every call carries a per-row validity vector (all-ones when the
-caller has no `valid` mask; zeros for the internal block padding). Invalid
-COLUMNS are masked to -inf inside every z block (they never enter any real
-row's denominator — the same contract as losses.info_nce_kd(valid=...)),
-invalid ROWS are zeroed out of the backward, and the loss is the mean over
-valid rows only. This is what lets padded DP batches
+The core is RECTANGULAR: (local rows of s) x (all columns of t), with the
+positive for local row r at column `row_offset + r`. Two consumers:
+
+  * blocked_info_nce          — the single-device square loss (offset 0,
+    rows == cols), returning the mean over valid rows;
+  * blocked_info_nce_partial  — the per-shard term of the DATA-PARALLEL loss
+    (parallel/nce_shard.sharded_info_nce): each device keeps its row shard,
+    all-gathers the 200-d key features over the mesh axis, computes the SUM
+    of its rows' losses against the global column set with its shard offset
+    as the diagonal, and the caller psums sums and valid counts. Gradients
+    flow through jax's all_gather transpose (psum-scatter) automatically, so
+    ds stays local and dt is reduced across shards — the global-batch NCE of
+    SURVEY.md §2c without ever materializing an N x N Gram per device.
+
+Masking: every call carries per-row and per-column validity vectors
+(all-ones when the caller has no `valid` mask; zeros for the internal block
+padding). Invalid COLUMNS are masked to -inf inside every z block (they
+never enter any real row's denominator — the same contract as
+losses.info_nce_kd(valid=...)), invalid ROWS are zeroed out of the backward
+and excluded from the loss sum. This is what lets padded DP batches
 (parallel/mesh.pad_batch) route here instead of falling back to XLA.
 
 Why: the single-block kernel VMEM-OOMs at N≈2048 (N² Gram > 16 MB), and XLA
@@ -31,7 +45,8 @@ VMEM per grid step at block B: z block B² f32 + two (B, D) operand blocks —
 B=1024, D=200: ~5.8 MB.
 
 On-chip A/B vs the XLA lowering of the same loss: the "blocked-Gram NCE"
-table in docs/PERF.md (round 4), from benchmarks/nce_blocked_ab.py.
+table in docs/PERF.md (round 4), from benchmarks/nce_blocked_ab.py; on-chip
+numerics parity (square and sharded routes): benchmarks/kernel_parity.py.
 """
 
 from __future__ import annotations
@@ -40,6 +55,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -64,18 +80,34 @@ def _masked_z(s, t, tau, vcol_t):
     return jnp.where(vcol_t > 0.0, z, _NEG)
 
 
-def _fwd_kernel(tau_ref, s_ref, t_ref, vcol_ref, m_ref, se_ref, pos_ref):
+def _diag_mask(shape, i, j, rb, cb, off):
+    """Positive-pair mask for block (i, j): local row r's positive sits at
+    global column `off + i*rb + r` (off = this shard's row offset in the
+    global batch; 0 for the square single-device loss)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return (rows + i * rb + off) == (cols + j * cb)
+
+
+def _fwd_kernel(tau_ref, off_ref, s_ref, t_ref, vcol_ref, m_ref, se_ref,
+                pos_ref):
     i, j = pl.program_id(0), pl.program_id(1)
+    rb, cb = s_ref.shape[0], t_ref.shape[0]
     tau = tau_ref[0, 0]
     s, _ = _normalize(s_ref[:].astype(jnp.float32))
     t, _ = _normalize(t_ref[:].astype(jnp.float32))
     z = _masked_z(s, t, tau, vcol_ref[:])
     blk_max = jnp.max(z, axis=-1, keepdims=True)  # (B, 1)
+    # at most one column matches per row across the whole grid; blocks with
+    # no match contribute exactly 0 to the running sum
+    match = _diag_mask(z.shape, i, j, rb, cb, off_ref[0, 0])
+    contrib = jnp.sum(jnp.where(match, z, 0.0), axis=-1, keepdims=True)
 
     @pl.when(j == 0)
     def _():
         m_ref[:] = blk_max
         se_ref[:] = jnp.sum(jnp.exp(z - blk_max), axis=-1, keepdims=True)
+        pos_ref[:] = contrib
 
     @pl.when(j != 0)
     def _():
@@ -84,40 +116,32 @@ def _fwd_kernel(tau_ref, s_ref, t_ref, vcol_ref, m_ref, se_ref, pos_ref):
         se_ref[:] = (se_ref[:] * jnp.exp(m_old - m_new)
                      + jnp.sum(jnp.exp(z - m_new), axis=-1, keepdims=True))
         m_ref[:] = m_new
-
-    @pl.when(j == i)
-    def _():
-        rows = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-        pos_ref[:] = jnp.sum(jnp.where(rows == cols, z, 0.0), axis=-1,
-                             keepdims=True)
+        pos_ref[:] = pos_ref[:] + contrib
 
 
-def _dz_block(z, m, denom, pos, g_eff, vrow, i, j, block):
-    """dL/dz for one (B, B) block, invalid ROWS zeroed.
+def _dz_block(z, m, denom, pos, g_eff, vrow, diag):
+    """dL/dz for one (RB, CB) block, invalid ROWS zeroed.
 
     Invalid columns need no extra handling: their z is _NEG so q underflows
     to exactly 0 (except on an all-invalid row, which the row mask covers)."""
     q = jnp.exp(z - m) / denom
     dz = q * g_eff
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
-    cols_j = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
-    diag = (rows_i + i * block) == (cols_j + j * block)
     q_pos = jnp.exp(pos - m) / denom  # (B, 1)
     dz = dz + jnp.where(diag, (q_pos - 1.0) * g_eff, 0.0)
     return jnp.where(vrow > 0.0, dz, 0.0)
 
 
-def _bwd_ds_kernel(tau_ref, g_ref, s_ref, t_ref, vrow_ref, vcol_ref, m_ref,
-                   de_ref, pos_ref, ds_ref):
+def _bwd_ds_kernel(tau_ref, off_ref, g_ref, s_ref, t_ref, vrow_ref, vcol_ref,
+                   m_ref, de_ref, pos_ref, ds_ref):
     i, j = pl.program_id(0), pl.program_id(1)
-    block = s_ref.shape[0]
+    rb, cb = s_ref.shape[0], t_ref.shape[0]
     tau = tau_ref[0, 0]
     s, _ = _normalize(s_ref[:].astype(jnp.float32))
     t, _ = _normalize(t_ref[:].astype(jnp.float32))
     z = _masked_z(s, t, tau, vcol_ref[:])
+    diag = _diag_mask(z.shape, i, j, rb, cb, off_ref[0, 0])
     dz = _dz_block(z, m_ref[:], de_ref[:], pos_ref[:], g_ref[0, 0],
-                   vrow_ref[:], i, j, block)
+                   vrow_ref[:], diag)
     update = jnp.dot(dz, t, preferred_element_type=jnp.float32) / tau
 
     @pl.when(j == 0)
@@ -129,17 +153,18 @@ def _bwd_ds_kernel(tau_ref, g_ref, s_ref, t_ref, vrow_ref, vcol_ref, m_ref,
         ds_ref[:] = ds_ref[:] + update
 
 
-def _bwd_dt_kernel(tau_ref, g_ref, s_ref, t_ref, vrow_ref, vcol_ref, m_ref,
-                   de_ref, pos_ref, dt_ref):
-    # grid = (col blocks, row blocks): j outer so dt[j] stays resident
+def _bwd_dt_kernel(tau_ref, off_ref, g_ref, s_ref, t_ref, vrow_ref, vcol_ref,
+                   m_ref, de_ref, pos_ref, dt_ref):
+    # grid = (col blocks, row blocks): col index outer so dt[j] stays resident
     j, i = pl.program_id(0), pl.program_id(1)
-    block = s_ref.shape[0]
+    rb, cb = s_ref.shape[0], t_ref.shape[0]
     tau = tau_ref[0, 0]
     s, _ = _normalize(s_ref[:].astype(jnp.float32))
     t, _ = _normalize(t_ref[:].astype(jnp.float32))
     z = _masked_z(s, t, tau, vcol_ref[:])
+    diag = _diag_mask(z.shape, i, j, rb, cb, off_ref[0, 0])
     dz = _dz_block(z, m_ref[:], de_ref[:], pos_ref[:], g_ref[0, 0],
-                   vrow_ref[:], i, j, block)
+                   vrow_ref[:], diag)
     update = jnp.dot(dz.T, s, preferred_element_type=jnp.float32) / tau
 
     @pl.when(i == 0)
@@ -163,15 +188,15 @@ def _smem_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
-def _fwd_call(s, t, validf, tau, block, interpret):
+def _fwd_call(s, t, vrow, vcol, off, tau, block, interpret):
     interpret = _resolve_interpret(interpret)
-    n, d = s.shape
-    nb = pl.cdiv(n, block)
-    n_pad = nb * block
-    sp, tp = _pad(s, n_pad), _pad(t, n_pad)
-    # zero-padded: pad tail is invalid; lane-major (1, n_pad) for the column
+    nr, d = s.shape
+    nc = t.shape[0]
+    nbr, nbc = pl.cdiv(nr, block), pl.cdiv(nc, block)
+    sp, tp = _pad(s, nbr * block), _pad(t, nbc * block)
+    # zero-padded: pad tail is invalid; lane-major (1, nc_pad) for the column
     # mask (see _masked_z — sublane-major would force an in-kernel relayout)
-    vt = _pad(validf[:, None], n_pad).reshape(1, n_pad)
+    vt = _pad(vcol[:, None], nbc * block).reshape(1, nbc * block)
     row_spec = pl.BlockSpec((block, d), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((block, d), lambda i, j: (j, 0),
@@ -182,35 +207,38 @@ def _fwd_call(s, t, validf, tau, block, interpret):
                             memory_space=pltpu.VMEM)
     m, se, pos = pl.pallas_call(
         _fwd_kernel,
-        grid=(nb, nb),
-        out_shape=(jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),) * 3,
-        in_specs=[_smem_spec(), row_spec, col_spec, vcol_spec],
+        grid=(nbr, nbc),
+        out_shape=(jax.ShapeDtypeStruct((nbr * block, 1), jnp.float32),) * 3,
+        in_specs=[_smem_spec(), _smem_spec(), row_spec, col_spec, vcol_spec],
         out_specs=(out_spec, out_spec, out_spec),
         interpret=interpret,
-    )(jnp.asarray([[tau]], jnp.float32), sp, tp, vt)
-    m, se, pos = m[:n], se[:n], pos[:n]
+    )(jnp.asarray([[tau]], jnp.float32),
+      jnp.asarray(off, jnp.int32).reshape(1, 1), sp, tp, vt)
+    m, se, pos = m[:nr], se[:nr], pos[:nr]
     denom = jnp.exp(pos - m) + se
-    per_row = -(pos - m) + jnp.log(denom)  # (n, 1)
-    n_valid = jnp.maximum(jnp.sum(validf), 1.0)
-    loss = jnp.sum(per_row[:, 0] * validf) / n_valid
-    return loss, (m, denom, pos)
+    per_row = -(pos - m) + jnp.log(denom)  # (nr, 1)
+    lsum = jnp.sum(per_row[:, 0] * vrow)  # SUM over valid rows; caller
+    return lsum, (m, denom, pos)  # divides by the (global) valid count
 
 
-def _bwd_call(s, t, validf, tau, block, m, denom, pos, g, interpret):
+def _bwd_call(s, t, vrow, vcol, off, tau, block, m, denom, pos, g, interpret):
     interpret = _resolve_interpret(interpret)
-    n, d = s.shape
-    nb = pl.cdiv(n, block)
-    n_pad = nb * block
-    sp, tp = _pad(s, n_pad), _pad(t, n_pad)
-    pad1 = lambda x: _pad(x, n_pad)
-    vp = pad1(validf[:, None])          # sublane-major: row mask
-    vt = vp.reshape(1, n_pad)           # lane-major: column mask
-    mp, dp, pp = pad1(m), pad1(denom), pad1(pos)
-    n_valid = jnp.maximum(jnp.sum(validf), 1.0)
-    g_eff = (g / n_valid).astype(jnp.float32)  # d(mean over valid rows)
-    scal = [jnp.asarray([[tau]], jnp.float32), g_eff[None, None]]
-    by_i = lambda i, j: (i, 0)
-    by_j = lambda i, j: (j, 0)
+    nr, d = s.shape
+    nc = t.shape[0]
+    nbr, nbc = pl.cdiv(nr, block), pl.cdiv(nc, block)
+    nr_pad, nc_pad = nbr * block, nbc * block
+    sp, tp = _pad(s, nr_pad), _pad(t, nc_pad)
+    vp = _pad(vrow[:, None], nr_pad)              # sublane-major: row mask
+    vt = _pad(vcol[:, None], nc_pad).reshape(1, nc_pad)  # lane-major: col mask
+    mp = _pad(m, nr_pad)
+    dp = _pad(denom, nr_pad)
+    pp = _pad(pos, nr_pad)
+    # g is the cotangent of the row-loss SUM — no division here; the mean's
+    # 1/count arrives through the caller's division (square API) or psum'd
+    # count (sharded route)
+    scal = [jnp.asarray([[tau]], jnp.float32),
+            jnp.asarray(off, jnp.int32).reshape(1, 1),
+            g.astype(jnp.float32)[None, None]]
 
     def vspec(index_map, width):
         return pl.BlockSpec((block, width), index_map,
@@ -219,32 +247,37 @@ def _bwd_call(s, t, validf, tau, block, m, denom, pos, g, interpret):
     def tspec(index_map):  # lane-major (1, block) column-mask slice
         return pl.BlockSpec((1, block), index_map, memory_space=pltpu.VMEM)
 
+    # row-major pass: program_id(0)=i (s row blocks), program_id(1)=j (cols)
+    by_row = lambda i, j: (i, 0)
+    by_col = lambda i, j: (j, 0)
     ds_n = pl.pallas_call(
         _bwd_ds_kernel,
-        grid=(nb, nb),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
-        in_specs=[_smem_spec()] * 2
-        + [vspec(by_i, d), vspec(by_j, d),
-           vspec(by_i, 1), tspec(lambda i, j: (0, j)),
-           vspec(by_i, 1), vspec(by_i, 1), vspec(by_i, 1)],
-        out_specs=vspec(by_i, d),
+        grid=(nbr, nbc),
+        out_shape=jax.ShapeDtypeStruct((nr_pad, d), jnp.float32),
+        in_specs=[_smem_spec()] * 3
+        + [vspec(by_row, d), vspec(by_col, d),
+           vspec(by_row, 1), tspec(lambda i, j: (0, j)),
+           vspec(by_row, 1), vspec(by_row, 1), vspec(by_row, 1)],
+        out_specs=vspec(by_row, d),
         interpret=interpret,
     )(*scal, sp, tp, vp, vt, mp, dp, pp)
 
-    # col-major pass: program_id(0)=j (t rows), program_id(1)=i (s rows)
+    # col-major pass: program_id(0)=j (t col blocks), program_id(1)=i (rows)
+    by_row2 = lambda j, i: (i, 0)
+    by_col2 = lambda j, i: (j, 0)
     dt_n = pl.pallas_call(
         _bwd_dt_kernel,
-        grid=(nb, nb),
-        out_shape=jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
-        in_specs=[_smem_spec()] * 2
-        + [vspec(by_j, d), vspec(by_i, d),
-           vspec(by_j, 1), tspec(lambda i, j: (0, i)),
-           vspec(by_j, 1), vspec(by_j, 1), vspec(by_j, 1)],
-        out_specs=vspec(by_i, d),
+        grid=(nbc, nbr),
+        out_shape=jax.ShapeDtypeStruct((nc_pad, d), jnp.float32),
+        in_specs=[_smem_spec()] * 3
+        + [vspec(by_row2, d), vspec(by_col2, d),
+           vspec(by_row2, 1), tspec(lambda j, i: (0, j)),
+           vspec(by_row2, 1), vspec(by_row2, 1), vspec(by_row2, 1)],
+        out_specs=vspec(by_col2, d),
         interpret=interpret,
     )(*scal, sp, tp, vp, vt, mp, dp, pp)
 
-    ds_n, dt_n = ds_n[:n], dt_n[:n]
+    ds_n, dt_n = ds_n[:nr], dt_n[:nc]
     # back through the row L2 normalization (outside the kernel: O(N D))
     s_n, s_norm = _normalize(s.astype(jnp.float32))
     t_n, t_norm = _normalize(t.astype(jnp.float32))
@@ -253,24 +286,45 @@ def _bwd_call(s, t, validf, tau, block, m, denom, pos, g, interpret):
     return ds.astype(s.dtype), dt.astype(t.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _blocked_info_nce_v(s, t, validf, tau, block, interpret):
-    loss, _ = _fwd_call(s, t, validf, tau, block, interpret)
-    return loss
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _blocked_rect_sum(s, t, vrow, vcol, off, tau, block, interpret):
+    lsum, _ = _fwd_call(s, t, vrow, vcol, off, tau, block, interpret)
+    return lsum
 
 
-def _vjp_fwd(s, t, validf, tau, block, interpret):
-    loss, (m, denom, pos) = _fwd_call(s, t, validf, tau, block, interpret)
-    return loss, (s, t, validf, m, denom, pos)
+def _vjp_fwd(s, t, vrow, vcol, off, tau, block, interpret):
+    lsum, (m, denom, pos) = _fwd_call(s, t, vrow, vcol, off, tau, block,
+                                      interpret)
+    return lsum, (s, t, vrow, vcol, off, m, denom, pos)
 
 
 def _vjp_bwd(tau, block, interpret, residuals, g):
-    s, t, validf, m, denom, pos = residuals
-    ds, dt = _bwd_call(s, t, validf, tau, block, m, denom, pos, g, interpret)
-    return ds, dt, jnp.zeros_like(validf)
+    s, t, vrow, vcol, off, m, denom, pos = residuals
+    ds, dt = _bwd_call(s, t, vrow, vcol, off, tau, block, m, denom, pos,
+                       jnp.asarray(g), interpret)
+    return (ds, dt, jnp.zeros_like(vrow), jnp.zeros_like(vcol),
+            np.zeros(np.shape(off), jax.dtypes.float0))
 
 
-_blocked_info_nce_v.defvjp(_vjp_fwd, _vjp_bwd)
+_blocked_rect_sum.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def blocked_info_nce_partial(s, t, valid_rows, valid_cols, row_offset,
+                             tau: float = 0.1, block: int = 1024,
+                             interpret: bool | None = None) -> jnp.ndarray:
+    """Per-shard partial of the data-parallel infoNCE-KD loss.
+
+    `s` (local_n, D): this shard's query rows; `t` (N, D): the ALL-GATHERED
+    key features; `row_offset`: this shard's first global row index (traced
+    int ok — `jax.lax.axis_index(axis) * local_n` inside shard_map). Returns
+    the SUM of per-row losses over this shard's valid rows; the caller psums
+    sums and valid counts (parallel/nce_shard.sharded_info_nce). Gradients:
+    ds is local, dt spans the gathered width — jax's all_gather transpose
+    reduces it back across shards."""
+    return _blocked_rect_sum(s, t, valid_rows.astype(jnp.float32),
+                             valid_cols.astype(jnp.float32),
+                             jnp.asarray(row_offset, jnp.int32),
+                             tau, block, interpret)
 
 
 def blocked_info_nce(s, t, tau: float = 0.1, block: int = 1024,
@@ -287,4 +341,6 @@ def blocked_info_nce(s, t, tau: float = 0.1, block: int = 1024,
     VMEM)."""
     validf = (jnp.ones((s.shape[0],), jnp.float32) if valid is None
               else valid.astype(jnp.float32))
-    return _blocked_info_nce_v(s, t, validf, tau, block, interpret)
+    lsum = _blocked_rect_sum(s, t, validf, validf,
+                             jnp.zeros((), jnp.int32), tau, block, interpret)
+    return lsum / jnp.maximum(jnp.sum(validf), 1.0)

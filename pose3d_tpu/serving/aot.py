@@ -125,6 +125,12 @@ class ServingArtifact:
         self.platforms = exported.platforms
         self._dtypes = tuple(a.dtype for a in exported.in_avals)
         self.n_inputs = len(exported.in_avals)  # 1=student, 2=teacher
+        # per-input shapes WITHOUT the symbolic batch dim: the artifact is
+        # the source of truth for its own geometry — consumers preprocess to
+        # THESE, not to whatever flags produced the export (ADVICE r4). The
+        # second entry's rank tells teacher families apart: (P, 3) cloud vs
+        # (K, h, w, 3) render ring.
+        self.in_shapes = tuple(tuple(a.shape[1:]) for a in exported.in_avals)
 
     def __call__(self, *inputs):
         return self._exported.call(

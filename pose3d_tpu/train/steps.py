@@ -97,19 +97,24 @@ _BLOCKED_NCE_BLOCK = 1024  # measured-best v5e tile (docs/PERF.md round 4)
 
 
 def route_info_nce(feat_q, feat_k, tau, dropout_rng, dropout_rate, valid,
-                   use_fused: bool):
+                   use_fused: bool, mesh=None, mesh_axis: str = "data"):
     """The ONE in-batch infoNCE-KD selector, shared by every call site
     (teacher step and stage-1 symmetric NCE — reference
     model_utils.py:263-285, base_class.py:451-569).
 
     use_fused=False -> the XLA lowering (losses.info_nce_kd). use_fused=True
     -> dropout applied here (bit-identical bernoulli draw to the XLA path's
-    internal one), then by width: <= _SINGLE_BLOCK_NCE_MAX unmasked batches
-    take the single-block Pallas kernel; wider batches — masked or not —
-    stream through the blocked online-LSE kernel (ops/nce_blocked.py), which
-    carries the `valid` mask natively so padded DP batches no longer fall
-    back to XLA. Narrow masked batches stay on XLA (the single-block kernel
-    has no masking, and at those widths both are dispatch-bound anyway)."""
+    internal one), then:
+      * mesh given -> the DATA-PARALLEL route: shard_map + explicit feature
+        all-gather around the rectangular blocked kernel
+        (parallel/nce_shard.sharded_info_nce) — a Pallas call does not GSPMD-
+        partition on its own, so this is how the kernel runs multi-chip;
+        handles masks natively (padded DP batches included).
+      * no mesh, by width: <= _SINGLE_BLOCK_NCE_MAX unmasked batches take the
+        single-block Pallas kernel; wider batches — masked or not — stream
+        through the blocked online-LSE kernel (ops/nce_blocked.py). Narrow
+        masked batches stay on XLA (the single-block kernel has no masking,
+        and at those widths both are dispatch-bound anyway)."""
     if not use_fused:
         return info_nce_kd(feat_q, feat_k, tau, dropout_rng=dropout_rng,
                            dropout_rate=dropout_rate, valid=valid)
@@ -117,6 +122,11 @@ def route_info_nce(feat_q, feat_k, tau, dropout_rng, dropout_rate, valid,
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
                                     feat_k.shape)
         feat_k = jnp.where(keep, feat_k / (1.0 - dropout_rate), 0.0)
+    if mesh is not None:
+        from pose3d_tpu.parallel.nce_shard import sharded_info_nce
+
+        return sharded_info_nce(feat_q, feat_k, tau, mesh, mesh_axis,
+                                valid=valid, block=_BLOCKED_NCE_BLOCK)
     if feat_q.shape[0] > _SINGLE_BLOCK_NCE_MAX:
         from pose3d_tpu.ops.nce_blocked import blocked_info_nce
 
@@ -142,19 +152,45 @@ def make_teacher_train_step(
     use_fused_nce: bool = False,
     device_augment: bool = False,
     with_shape_bank: bool = False,
+    nce_mesh=None,
+    nce_variant: str = "info",
+    nce_weighting: str = "linear",
 ) -> Callable:
     """use_fused_nce routes the contrastive term through the Pallas kernels
-    via route_info_nce (identical math; dropout applied outside the kernel).
+    via route_info_nce (identical math; dropout applied outside the kernel);
+    pass nce_mesh (the DP Mesh) with it so the kernel runs sharded under
+    GSPMD (shard_map + feature all-gather) instead of single-device.
     device_augment expects RAW [0,1] pixels from the loader (datasets built
     with host_augment=False) and applies the photometric augs + normalize
     on-device (ops/augment.py) — the host-bottleneck fix.
     with_shape_bank: the returned step takes the device-resident bank as its
     FIRST argument (see _shape_of for why it must be an argument) and the
-    batch carries the bank's scalar reference keys."""
+    batch carries the bank's scalar reference keys.
+    nce_variant selects the contrastive term: 'info' (infoNCE_KD — what the
+    reference recipes run, model_utils.py:263-285), 'pose' (pose_nce_kd:
+    negatives down-weighted by pairwise geodesic pose distance per
+    `nce_weighting` — model_utils.py:225-261; implemented in the reference
+    but unreachable from any live recipe, wired here as an opt-in), or
+    'multipose' (multi_pose_nce_kd, 30-deg multi-positive —
+    model_utils.py:306-351). The pose variants carry no dropout (reference
+    parity) and take the XLA lowering (use_fused_nce applies to 'info')."""
+    if nce_variant not in ("info", "pose", "multipose"):
+        raise ValueError(f"unknown nce_variant: {nce_variant!r}")
 
-    def _nce(img_proj, fused, nce_rng, valid):
+    def _nce(img_proj, fused, labels, nce_rng, valid):
+        if nce_variant == "pose":
+            from pose3d_tpu.losses import pose_nce_kd
+
+            return pose_nce_kd(img_proj, fused, labels.astype(jnp.float32),
+                               nce_tau, nce_weighting, valid=valid)
+        if nce_variant == "multipose":
+            from pose3d_tpu.losses import multi_pose_nce_kd
+
+            return multi_pose_nce_kd(img_proj, fused,
+                                     labels.astype(jnp.float32),
+                                     nce_tau, valid=valid)
         return route_info_nce(img_proj, fused, nce_tau, nce_rng, nce_dropout,
-                              valid, use_fused_nce)
+                              valid, use_fused_nce, mesh=nce_mesh)
 
     def loss_fn(params, batch_stats, batch: Batch, rng, bank):
         drop_rng, nce_rng, aug_rng = jax.random.split(rng, 3)
@@ -174,7 +210,7 @@ def make_teacher_train_step(
         fused = fused.astype(jnp.float32)
         img_proj = img_proj.astype(jnp.float32)
         gt = pose_loss(outputs, batch["label"], bin_size, valid=valid)
-        nce = _nce(img_proj, fused, nce_rng, valid)
+        nce = _nce(img_proj, fused, batch["label"], nce_rng, valid)
         loss = gt + nce_weight * nce
         return loss, (outputs, mutated["batch_stats"], gt, nce)
 
@@ -236,10 +272,18 @@ def make_kd_crd_step(
     device_views: bool = False,
     int8_teacher: bool = False,
     with_shape_bank: bool = False,
+    loss_variant: str = "crd",
 ) -> Callable:
     """step(student_state, teacher_variables, batch7) -> (student_state, metrics)
     — or step(bank, student_state, teacher_variables, batch) with
     with_shape_bank=True (see _shape_of: the bank must be an argument).
+
+    loss_variant: 'crd' (calculate_kd_loss_new, vanilla_kd.py:143-164 — the
+    main recipe), 'contrast' (the same minus the feature-KL term — the
+    closest live semantics for the reference's --contrast flag, whose
+    dispatch targets a method that does not exist, trainingKD.py:281), or
+    'vid' (calculate_vid_loss, vanilla_kd.py:167-195 — dormant in the
+    reference, wired here as an opt-in).
 
     batch7 keys: im, shape, label, im_flip, label_flip, im_rot, label_rot.
     device_augment: see make_teacher_train_step.
@@ -256,6 +300,8 @@ def make_kd_crd_step(
     opt-in, with the accuracy-drift evidence in tests/test_quant_teacher.py
     and docs/PERF.md.
     """
+    if loss_variant not in ("crd", "contrast", "vid"):
+        raise ValueError(f"unknown loss_variant: {loss_variant!r}")
     if int8_teacher:
         from pose3d_tpu.serving.quant_teacher import make_teacher_int8_kd_fwd
 
@@ -306,8 +352,17 @@ def make_kd_crd_step(
         s_feat, t_feat = s_feat.astype(jnp.float32), t_feat.astype(jnp.float32)
 
         gt = pose_loss(s_out, label, bin_size, valid=valid3)
-        loss = kd_loss_with_features(s_out, t_out, s_feat, t_feat, gt,
-                                     temperature=temperature, valid=valid3)
+        if loss_variant == "vid":
+            from pose3d_tpu.losses import vid_loss
+
+            loss = vid_loss(s_out, t_out, gt, s_feat, t_feat,
+                            temperature=temperature, valid=valid3)
+        elif loss_variant == "contrast":
+            loss = kd_loss(s_out, t_out, gt, temperature=temperature,
+                           valid=valid3)
+        else:
+            loss = kd_loss_with_features(s_out, t_out, s_feat, t_feat, gt,
+                                         temperature=temperature, valid=valid3)
         return loss, (s_out, label, valid3, mutated["batch_stats"], gt)
 
     def raw_step(bank, student_state, teacher_vars, batch: Batch):
@@ -339,6 +394,9 @@ def make_stage1_step(
     use_memory_bank: bool = False,
     use_fused_nce: bool = False,
     with_shape_bank: bool = False,
+    nce_mesh=None,
+    nce_variant: str = "info",
+    nce_weighting: str = "linear",
 ) -> Callable:
     """Both models train. step(teacher_state, student_state, batch[, bank]) ->
     (teacher_state, student_state, metrics[, bank]). Teacher must have vanilla
@@ -350,10 +408,35 @@ def make_stage1_step(
     then takes/returns a MemoryBank and enqueues the teacher features.
 
     use_fused_nce routes both directions of the symmetric NCE through the
-    same route_info_nce selector as the teacher step — at wide DP (bs160 x
-    16+ chips) the stage-1 Gram hits the same N^2 wall the blocked kernel
-    solves (base_class.py:451-569). Ignored by the memory-bank branch (the
-    bank loss has a different key pool)."""
+    same route_info_nce selector as the teacher step (pass nce_mesh for the
+    sharded multi-chip route) — at wide DP (bs160 x 16+ chips) the stage-1
+    Gram hits the same N^2 wall the blocked kernel solves
+    (base_class.py:451-569). Ignored by the memory-bank branch (the bank
+    loss has a different key pool).
+
+    nce_variant: 'info' (default — the reference's symmetric infoNCE_KD) or
+    'pose'/'multipose' (the pose-weighted family, model_utils.py:225-261 /
+    306-351 — dead code in the reference, wired here as the opt-in
+    `--weighting` consumer; incompatible with use_memory_bank)."""
+    if nce_variant not in ("info", "pose", "multipose"):
+        raise ValueError(f"unknown nce_variant: {nce_variant!r}")
+    if use_memory_bank and nce_variant != "info":
+        raise ValueError("pose-weighted NCE has no memory-bank form "
+                         "(the queue holds no pose labels)")
+
+    def _sym_nce(q, k, labels, rng, valid):
+        if nce_variant == "pose":
+            from pose3d_tpu.losses import pose_nce_kd
+
+            return pose_nce_kd(q, k, labels.astype(jnp.float32), tau,
+                               nce_weighting, valid=valid)
+        if nce_variant == "multipose":
+            from pose3d_tpu.losses import multi_pose_nce_kd
+
+            return multi_pose_nce_kd(q, k, labels.astype(jnp.float32), tau,
+                                     valid=valid)
+        return route_info_nce(q, k, tau, rng, 0.3, valid, use_fused_nce,
+                              mesh=nce_mesh)
 
     def loss_fn(t_params, s_params, t_bs, s_bs, batch: Batch, rng, bank,
                 sbank):
@@ -385,10 +468,8 @@ def make_stage1_step(
             nce_t2s = info_nce_memory(t_feat, s_feat, bank, tau, valid=valid,
                                       dropout_rng=nce_rng2)
         else:
-            nce_s2t = route_info_nce(s_feat, t_feat, tau, nce_rng1, 0.3,
-                                     valid, use_fused_nce)
-            nce_t2s = route_info_nce(t_feat, s_feat, tau, nce_rng2, 0.3,
-                                     valid, use_fused_nce)
+            nce_s2t = _sym_nce(s_feat, t_feat, batch["label"], nce_rng1, valid)
+            nce_t2s = _sym_nce(t_feat, s_feat, batch["label"], nce_rng2, valid)
         loss = teacher_loss + nce_weight * (0.5 * nce_s2t + 0.5 * nce_t2s)
         return loss, (t_out, t_mut["batch_stats"], s_mut["batch_stats"],
                       teacher_loss, t_feat)

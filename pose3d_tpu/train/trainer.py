@@ -158,7 +158,8 @@ class TeacherTrainer(_Base):
     def __init__(self, model, state, train_loader, eval_loader, category_names,
                  result_path, bin_size: int = 15, mesh=None, print_freq: int = 50,
                  cat_eval_loader=None, device_augment: bool = False,
-                 use_fused_nce: bool = False, shape_bank=None):
+                 use_fused_nce: bool = False, shape_bank=None,
+                 nce_variant: str = "info", nce_weighting: str = "linear"):
         """cat_eval_loader: optional second val loader for the per-category
         Acc/Med sweep. The reference computes val_new loss on its Pascal3D
         eval set but the per-category accuracies on Pascal3DContrast val
@@ -176,7 +177,11 @@ class TeacherTrainer(_Base):
         self.train_step = _jit_step(
             partial(steps_lib.make_teacher_train_step, model, bin_size,
                     device_augment=device_augment,
-                    use_fused_nce=use_fused_nce),
+                    use_fused_nce=use_fused_nce,
+                    # under a mesh the Pallas NCE must run sharded (shard_map
+                    # + feature all-gather) — a kernel won't GSPMD-partition
+                    nce_mesh=mesh if use_fused_nce else None,
+                    nce_variant=nce_variant, nce_weighting=nce_weighting),
             shape_bank, mesh, donate=(0,))
         self.eval_step = jax.jit(steps_lib.make_eval_step(model, "teacher", bin_size))
 
@@ -372,7 +377,8 @@ class KDTrainer(_Base):
                  bin_size: int = 15, temperature: float = 1.0, tau: float = 0.5,
                  mesh=None, teacher_state=None, device_augment: bool = False,
                  device_views: bool = False, int8_teacher: bool = False,
-                 use_fused_nce: bool = False, shape_bank=None):
+                 use_fused_nce: bool = False, shape_bank=None,
+                 nce_variant: str = "info", nce_weighting: str = "linear"):
         super().__init__(result_path, mesh)
         self.student_model = student_model
         self.teacher_model = teacher_model
@@ -393,6 +399,10 @@ class KDTrainer(_Base):
         # stage-1 only today: routes the symmetric NCE through the Pallas
         # selector (steps.route_info_nce) — the wide-DP Gram regime
         self.use_fused_nce = use_fused_nce
+        # stage-1 contrastive variant: 'info' or the pose-weighted family
+        # (the `--weighting` consumer — steps.make_stage1_step)
+        self.nce_variant = nce_variant
+        self.nce_weighting = nce_weighting
         # device-resident cloud bank (ops/shape_bank.py): the train loader
         # then emits (shape_id, shape_rot, shape_seed) instead of clouds
         self.shape_bank = shape_bank
@@ -408,16 +418,20 @@ class KDTrainer(_Base):
                 "label_rot")
 
     # ---------------- crd (the main student path) ----------------
-    def fit_crd(self, epochs: int, start_epoch: int = 0):
+    def fit_crd(self, epochs: int, start_epoch: int = 0,
+                loss_variant: str = "crd"):
+        """loss_variant: 'crd' | 'contrast' (no feature-KL) | 'vid' — see
+        steps.make_kd_crd_step."""
         step = _jit_step(
             partial(steps_lib.make_kd_crd_step,
                     self.student_model, self.teacher_model, self.bin_size,
                     self.temperature, device_augment=self.device_augment,
                     device_views=self.device_views,
-                    int8_teacher=self.int8_teacher),
+                    int8_teacher=self.int8_teacher,
+                    loss_variant=loss_variant),
             self.shape_bank, self.mesh, donate=(0,))
         return self._student_loop(step, self._view_keys(), epochs, start_epoch,
-                                  "crd")
+                                  loss_variant if loss_variant != "crd" else "crd")
 
     # ---------------- stage 2 ----------------
     def fit_stage2(self, epochs: int, start_epoch: int = 0):
@@ -485,7 +499,10 @@ class KDTrainer(_Base):
             partial(steps_lib.make_stage1_step,
                     self.teacher_model, self.student_model, self.bin_size,
                     self.tau, use_memory_bank=use_memory_bank,
-                    use_fused_nce=self.use_fused_nce),
+                    use_fused_nce=self.use_fused_nce,
+                    nce_mesh=self.mesh if self.use_fused_nce else None,
+                    nce_variant=self.nce_variant,
+                    nce_weighting=self.nce_weighting),
             self.shape_bank, self.mesh, donate=(0, 1))
         bank = None
         if use_memory_bank:

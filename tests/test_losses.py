@@ -204,6 +204,50 @@ def test_multi_pose_nce_kd_matches_torch_loop(rng):
     assert ours == pytest.approx(oracle, rel=1e-3)
 
 
+def test_pose_nce_family_valid_mask(rng):
+    """Padded-DP contract for the pose-weighted family (wired as the
+    `--weighting` consumer): a masked call on a padded batch equals the
+    unpadded call on the valid rows, and the result is finite/NaN-free."""
+    n, n_valid = 16, 11
+    s = rng.standard_normal((n, 32)).astype(np.float32)
+    t = rng.standard_normal((n, 32)).astype(np.float32)
+    labels = _rand_labels(rng, n)
+    valid = jnp.asarray(np.arange(n) < n_valid)
+    for fn, kw in ((losses.pose_nce_kd, dict(weighting="sin")),
+                   (losses.pose_nce, dict(weighting="linear")),
+                   (losses.multi_pose_nce_kd, dict())):
+        ref = float(fn(jnp.asarray(s[:n_valid]), jnp.asarray(t[:n_valid]),
+                       jnp.asarray(labels[:n_valid]), tau=0.5, **kw))
+        got = float(fn(jnp.asarray(s), jnp.asarray(t), jnp.asarray(labels),
+                       tau=0.5, valid=valid, **kw))
+        assert got == pytest.approx(ref, rel=1e-5), fn.__name__
+        # gradients stay NaN-free through the masked rows
+        g = jax.grad(lambda a: fn(a, jnp.asarray(t), jnp.asarray(labels),
+                                  tau=0.5, valid=valid, **kw))(jnp.asarray(s))
+        assert np.all(np.isfinite(np.asarray(g))), fn.__name__
+
+
+def test_vid_loss_valid_mask(rng):
+    """vid_loss (the --vid consumer): masked call on a padded batch equals
+    the unpadded call on the valid rows."""
+    from pose3d_tpu.losses import vid_loss
+
+    n, n_valid = 12, 9
+    s_out = [jnp.asarray(rng.standard_normal((n, c)).astype(np.float32))
+             for c in (24, 12, 24, 24, 12, 24)]
+    t_out = [jnp.asarray(rng.standard_normal((n, c)).astype(np.float32))
+             for c in (24, 12, 24, 24, 12, 24)]
+    s_f = jnp.asarray(rng.standard_normal((n, 20)).astype(np.float32))
+    t_f = jnp.asarray(rng.standard_normal((n, 20)).astype(np.float32))
+    gt = jnp.asarray(1.7, jnp.float32)
+    valid = jnp.asarray(np.arange(n) < n_valid)
+    ref = float(vid_loss([o[:n_valid] for o in s_out],
+                         [o[:n_valid] for o in t_out], gt,
+                         s_f[:n_valid], t_f[:n_valid]))
+    got = float(vid_loss(s_out, t_out, gt, s_f, t_f, valid=valid))
+    assert got == pytest.approx(ref, rel=1e-5)
+
+
 def test_single_info_nce_kd(rng):
     s = rng.standard_normal((16, 64)).astype(np.float32)
     t = rng.standard_normal((16, 64)).astype(np.float32)

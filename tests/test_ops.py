@@ -453,6 +453,59 @@ def test_blocked_nce_matches_single_block_kernel(rng):
     assert a == pytest.approx(b, rel=1e-5)
 
 
+def test_sharded_nce_gspmd_parity(rng):
+    """VERDICT r4 #1: the blocked kernel UNDER THE DP MESH. shard_map +
+    feature all-gather (parallel/nce_shard.sharded_info_nce) on batch-sharded
+    inputs must reproduce the XLA global-batch loss — value AND both grads —
+    with and without a padded-tail valid mask. Offsets != 0 are exercised by
+    construction (each of the 8 shards computes its own diagonal offset)."""
+    from pose3d_tpu.losses import info_nce_kd
+    from pose3d_tpu.parallel import make_mesh, shard_batch
+    from pose3d_tpu.parallel.nce_shard import sharded_info_nce
+
+    mesh = make_mesh(jax.devices()[:8])
+    for n, d, n_valid in ((48, 64, None), (48, 64, 41), (16, 200, 13)):
+        s = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        t = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+        valid = None if n_valid is None else jnp.asarray(np.arange(n) < n_valid)
+        ref_l, (ref_ds, ref_dt) = jax.value_and_grad(
+            lambda a, b: info_nce_kd(a, b, 0.5, dropout_rng=None, valid=valid),
+            argnums=(0, 1))(s, t)
+        f = jax.jit(jax.value_and_grad(
+            lambda a, b: sharded_info_nce(a, b, 0.5, mesh, valid=valid,
+                                          block=16),
+            argnums=(0, 1)))
+        sharded = shard_batch({"s": s, "t": t}, mesh)
+        out_l, (out_ds, out_dt) = f(sharded["s"], sharded["t"])
+        assert float(out_l) == pytest.approx(float(ref_l), rel=1e-5), (n, n_valid)
+        np.testing.assert_allclose(np.asarray(out_ds), np.asarray(ref_ds),
+                                   rtol=1e-4, atol=1e-6, err_msg=str((n, n_valid)))
+        np.testing.assert_allclose(np.asarray(out_dt), np.asarray(ref_dt),
+                                   rtol=1e-4, atol=1e-6, err_msg=str((n, n_valid)))
+
+
+def test_blocked_nce_partial_offset(rng):
+    """The rectangular core's row-offset diagonal: summing the per-shard
+    partials over hand-split row shards (local rows x global cols) equals the
+    full loss sum — the invariant sharded_info_nce's psum relies on."""
+    from pose3d_tpu.losses import info_nce_kd
+    from pose3d_tpu.ops.nce_blocked import blocked_info_nce_partial
+
+    n, d = 24, 32
+    s = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    ones = jnp.ones((n,), jnp.float32)
+    ref = float(info_nce_kd(s, t, 0.5, dropout_rng=None)) * n
+    # uneven manual split (8 + 16) — offsets land mid-block relative to
+    # block=16, exercising the cross-block diagonal accumulation
+    parts = [(0, 8), (8, 24)]
+    total = sum(
+        float(blocked_info_nce_partial(s[a:b], t, ones[a:b], ones, a,
+                                       tau=0.5, block=16, interpret=True))
+        for a, b in parts)
+    assert total == pytest.approx(ref, rel=1e-5)
+
+
 def test_pallas_pointnet_matches_xla(rng):
     _, _, folded = _folded(rng)
     # P deliberately NOT a multiple of the 512 block to exercise padding
