@@ -495,6 +495,15 @@ def test_kd_crd_loss_variants(rng):
                                  jax.random.key(0), optax.sgd(0.1))
     t_vars = teacher.init(jax.random.key(1), jnp.zeros((1, IMG, IMG, 3)),
                           jnp.zeros((1, PTS, 3)), train=False)
+    # at init the 200-d features sit at std ~1e-4 (torch-parity std=1e-3
+    # final-Linear init) -> softmax is uniform and the feature KL is ~1e-7,
+    # which would make crd == contrast to fp precision; blow up the
+    # teacher's projector head (its `Dense_0` — the t_feat the KD loss
+    # consumes, reference model.py:272) so the variants separate
+    t_vars = dict(t_vars)
+    t_vars["params"] = dict(t_vars["params"])
+    t_vars["params"]["Dense_0"] = jax.tree.map(
+        lambda x: x * 1e4, t_vars["params"]["Dense_0"])
     batch = _batch(rng, with_views=True)
     out = {}
     for variant in ("crd", "contrast", "vid"):
