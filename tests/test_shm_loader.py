@@ -105,3 +105,25 @@ def test_shm_worker_error_propagates():
                                   shuffle=False, num_workers=1)
     with pytest.raises(RuntimeError, match="boom"):
         list(dl)
+
+
+@pytest.mark.slow
+def test_shm_scales_with_simulated_decode():
+    """Architecture-scaling proof on the 1-core sandbox (VERDICT r4 #8): with
+    a sleep-based per-sample decode cost (sleep overlaps across workers the
+    way real decode overlaps across real cores), 4 workers must deliver
+    >=2.5x the 1-worker rate — i.e. the shm queues/slots/reordering add no
+    per-sample serialization beyond decode itself. Full sweep + the
+    min(N/decode, ceiling) model: benchmarks/loader_scaling_sim.py."""
+    from benchmarks.loader_scaling_sim import SimulatedDecodeDataset, measure
+
+    sample = {"im": np.zeros((32, 32, 3), np.float32),
+              "label": np.zeros(3, np.int64)}
+    bs, warm, timed = 8, 8, 18
+    rates = {}
+    for w in (1, 4):
+        ds = SimulatedDecodeDataset(sample, bs * (warm + timed + 2), 0.020)
+        with shm_loader.ShmDataLoader(ds, batch_size=bs, shuffle=True,
+                                      num_workers=w) as dl:
+            rates[w] = measure(dl, warm, timed, bs)
+    assert rates[4] / rates[1] >= 2.5, rates
