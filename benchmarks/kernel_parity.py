@@ -98,6 +98,35 @@ def main(argv=None):
     check("nce_fused_single_block", abs(float(lx) - float(lf)) / abs(float(lx)),
           1e-4, grad_rel_err=round(_rel(gf[0], gx[0]), 9))
 
+    # 2b. RECTANGULAR partial with nonzero row offset — the multi-chip
+    # shard_map route (parallel/nce_shard) lowered on the real chip. The
+    # 8-device GSPMD tests run this kernel in interpret mode on CPU only;
+    # this is its Mosaic lowering guard (round-4 lesson: interpret-mode
+    # parity does not imply the chip lowering is right). Two shards of the
+    # same 384-row batch on one chip must reproduce the global loss + grads.
+    from pose3d_tpu.ops.nce_blocked import blocked_info_nce_partial
+
+    vmask = jnp.asarray(np.arange(384) < 300)
+
+    def sharded(a, b):
+        n_local = 192
+        parts = [
+            blocked_info_nce_partial(
+                a[i * n_local:(i + 1) * n_local], b,
+                vmask[i * n_local:(i + 1) * n_local], vmask,
+                i * n_local, 0.5, 128, interp)
+            for i in range(2)
+        ]
+        return (parts[0] + parts[1]) / jnp.sum(vmask.astype(jnp.float32))
+
+    (lx, gx) = jax.jit(jax.value_and_grad(
+        lambda a, b: info_nce_kd(a, b, 0.5, dropout_rng=None, valid=vmask),
+        argnums=(0, 1)))(s, t)
+    (lp, gp) = jax.jit(jax.value_and_grad(sharded, argnums=(0, 1)))(s, t)
+    check("nce_blocked_partial_offset",
+          abs(float(lx) - float(lp)) / abs(float(lx)), 1e-4,
+          grad_rel_err=round(max(_rel(gp[0], gx[0]), _rel(gp[1], gx[1])), 9))
+
     # 3. geodesic rotation error
     from pose3d_tpu import geometry
     from pose3d_tpu.ops.geodesic import rotation_err_pallas
