@@ -806,6 +806,7 @@ def main(argv=None):
     p.add_argument("--input_dim", type=int, default=64)
     p.add_argument("--img_feature_dim", type=int, default=64)
     p.add_argument("--shape_feature_dim", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--regime", choices=["vanilla", "kd", "teacher", "bf16_drift"],
                    default="vanilla")
@@ -819,7 +820,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     sub = dict(epochs=args.epochs, n_train_per_cat=args.n_train_per_cat,
                n_val_per_cat=args.n_val_per_cat, batch_size=args.batch_size,
-               input_dim=args.input_dim)
+               input_dim=args.input_dim, lr=args.lr)
     if args.regime == "kd":
         report = run_parity_kd(**sub, data_root=args.data_root)
     elif args.regime == "teacher":

@@ -44,14 +44,16 @@ def test_torch_vs_jax_kd_crd_trajectory():
     0.00e+00 deg, 3-epoch train-loss rel gap <=0.023%."""
     from benchmarks.parity_run import run_parity_kd
 
-    report = run_parity_kd(epochs=2, n_train_per_cat=6, n_val_per_cat=3,
+    report = run_parity_kd(epochs=2, n_train_per_cat=6, n_val_per_cat=6,
                            batch_size=3, input_dim=224, point_num=64,
                            img_feature_dim=64, shape_feature_dim=32,
                            verbose=False)
     assert report["epoch0"]["max_err_gap_deg"] < 1e-2
     for row in report["epochs"]:
         assert row["train_loss_rel_gap"] < 0.01, row
-        assert row["val_acc_gap"] <= 34.0, row  # 1 borderline sample = 100/3
+        # 12 val samples: 1 borderline sample = 8.33 points (VERDICT r4 #2
+        # asked <=10; the 24-epoch docs/PARITY.md runs measured gap 0.0)
+        assert row["val_acc_gap"] <= 100.0 / 12 + 1e-6, row
     assert report["summary"]["final_train_loss_rel_gap"] < 0.01
 
 
