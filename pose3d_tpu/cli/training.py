@@ -71,6 +71,14 @@ def parse_args(argv=None):
         raise SystemExit("--nce pose/multipose applies to teacher training "
                          "(--shape ...); the RGB baseline has no "
                          "contrastive term")
+    if opt.fused_nce and opt.nce != "info":
+        import sys
+
+        print("WARNING: the Pallas NCE kernels implement the infoNCE term "
+              "only; --nce pose/multipose takes the XLA lowering "
+              "(train/steps.py route_info_nce) — continuing WITHOUT "
+              "--fused_nce", file=sys.stderr)
+        opt.fused_nce = False
     return opt
 
 

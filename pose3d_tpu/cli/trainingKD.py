@@ -137,6 +137,14 @@ def parse_args(argv=None):
                          "only regime with a contrastive term)")
     if opt.vid and (opt.stage != 0 or opt.contrast):
         raise SystemExit("--vid is a --crd loss variant")
+    if opt.fused_nce and opt.nce != "info":
+        import sys
+
+        print("WARNING: the Pallas NCE kernels implement the infoNCE term "
+              "only; --nce pose/multipose takes the XLA lowering "
+              "(train/steps.py route_info_nce) — continuing WITHOUT "
+              "--fused_nce", file=sys.stderr)
+        opt.fused_nce = False
     return opt
 
 

@@ -63,6 +63,10 @@ def test_kd_cli_flag_guards(capsys):
         parse_args(base + ["--stage", "2", "--vid"])
     opt = parse_args(base + ["--crd", "--vid"])
     assert opt.vid
+    # Pallas kernels implement infoNCE only: warns, clears --fused_nce
+    opt = parse_args(base + ["--stage", "1", "--nce", "pose", "--fused_nce"])
+    assert not opt.fused_nce
+    assert "WARNING" in capsys.readouterr().err
 
 
 def test_teacher_cli_flag_guards():
@@ -78,3 +82,5 @@ def test_teacher_cli_flag_guards():
     with pytest.raises(SystemExit):
         parse_args(["--dataset", "ObjectNet3D", "--shape", "None",
                     "--nce", "pose"])
+    opt = parse_args(base + ["--nce", "multipose", "--fused_nce"])
+    assert not opt.fused_nce  # warns: kernels implement infoNCE only
